@@ -1,0 +1,107 @@
+"""Convolution primitives (NHWC / HWIO), XLA path.
+
+These are the TPU-native replacements for the reference's cuDNN-backed
+``nn.Conv2d`` / ``nn.ConvTranspose2d`` calls (e.g. reference backend/app.py:
+43-77).  Semantics match PyTorch exactly (symmetric integer padding,
+cross-correlation, ConvTranspose output size (in-1)*s - 2p + k), verified by
+golden tests against torch-CPU in tests/test_ops_parity.py.
+
+XLA lowers ``lax.conv_general_dilated`` onto the MXU as an implicit GEMM and
+fuses the surrounding elementwise work; a hand-written Pallas fused conv lives
+in ops/pallas/ for the cases where profiling shows it beats XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+IntOr2 = Union[int, Tuple[int, int], Sequence[int]]
+
+# NHWC activations, HWIO kernels, NHWC outputs — the TPU-native layout.
+DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
+
+
+def _pair(v: IntOr2) -> Tuple[int, int]:
+    if isinstance(v, int):
+        return (v, v)
+    a, b = v
+    return (int(a), int(b))
+
+
+def conv2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias=None,
+    *,
+    stride: IntOr2 = 1,
+    padding: IntOr2 = 0,
+    dilation: IntOr2 = 1,
+    groups: int = 1,
+    preferred_dtype=jnp.float32,
+) -> jax.Array:
+    """2-D convolution, PyTorch ``nn.Conv2d`` semantics on NHWC/HWIO.
+
+    x: (N, H, W, C_in); kernel: (kH, kW, C_in // groups, C_out).
+    ``padding`` is symmetric integer padding like torch (not SAME/VALID).
+    """
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    y = lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dh, dw),
+        dimension_numbers=DIMENSION_NUMBERS,
+        feature_group_count=groups,
+        preferred_element_type=preferred_dtype,
+    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def conv2d_transpose(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias=None,
+    *,
+    stride: IntOr2 = 1,
+    padding: IntOr2 = 0,
+    preferred_dtype=jnp.float32,
+) -> jax.Array:
+    """2-D transposed convolution, PyTorch ``nn.ConvTranspose2d`` semantics.
+
+    x: (N, H, W, C_in); kernel: (kH, kW, C_out, C_in) — note the transposed
+    channel order (matches torch's (C_in, C_out, kH, kW) after HWOI layout).
+    Output spatial size: (in - 1) * stride - 2 * padding + kernel.
+
+    Implemented the XLA-native way as a fractionally-strided convolution:
+    dilate the input by ``stride`` (lhs_dilation), pad by (k - 1 - p), and
+    convolve with the spatially-flipped kernel.  This is a single
+    ``conv_general_dilated`` the TPU backend maps straight onto the MXU —
+    no scatter, no host logic.
+    """
+    kh, kw = int(kernel.shape[0]), int(kernel.shape[1])
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    # Flip spatially and swap the channel axes to HWIO with I=C_in, O=C_out.
+    k = jnp.flip(kernel, axis=(0, 1))
+    k = jnp.swapaxes(k, 2, 3)  # (kH, kW, C_in, C_out)
+    y = lax.conv_general_dilated(
+        x,
+        k.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+        lhs_dilation=(sh, sw),
+        dimension_numbers=DIMENSION_NUMBERS,
+        preferred_element_type=preferred_dtype,
+    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
