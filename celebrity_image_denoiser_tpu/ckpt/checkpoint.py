@@ -1,0 +1,77 @@
+"""Native checkpoint format: save/restore with actual resume.
+
+The reference saves full trainer state every epoch but never loads one to
+continue training (SURVEY.md §5: "save-only, no resume"; training.py:359-376).
+Here checkpoints are a directory of ``.npz`` pytree leaves + a JSON metadata
+blob, and the trainer resumes from them (params, opt state, BN stats, epoch,
+best PSNR, metric history).
+
+Format: ``<path>/arrays.npz`` holds every array leaf under its dotted path
+(section-prefixed: ``params.g.down1.0.kernel``); ``<path>/meta.json`` holds
+scalars/history.  Dependency-free, host-portable, and mesh-agnostic — arrays
+are saved as host numpy and re-sharded on restore by whatever shardings the
+caller jits with.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from celebrity_image_denoiser_tpu.utils import tree as treelib
+from celebrity_image_denoiser_tpu.utils.logging import get_logger
+
+logger = get_logger("cid_tpu.ckpt")
+
+_ESC = "\x00"  # npz keys can't collide with '/' paths; keep dotted paths
+
+
+def save_checkpoint(path: str, sections: Dict[str, Any], meta: Optional[Dict] = None) -> None:
+    """sections: {"g_params": tree, "d_params": tree, ...} of array pytrees;
+    meta: JSON-serializable scalars (epoch, best_psnr, metric_history...)."""
+    os.makedirs(path, exist_ok=True)
+    flat: Dict[str, np.ndarray] = {}
+    for section, t in sections.items():
+        if t is None:
+            continue
+        for k, v in treelib.flatten(t, section).items():
+            flat[k] = np.asarray(jax.device_get(v))
+    np.savez(os.path.join(path, "arrays.npz"), **flat)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta or {}, f, indent=1, default=float)
+    logger.info("saved checkpoint: %s (%d arrays)", path, len(flat))
+
+
+def load_checkpoint(path: str):
+    """Returns (sections, meta) — sections is a dict of pytrees keyed by the
+    section names passed at save time."""
+    with np.load(os.path.join(path, "arrays.npz")) as z:
+        flat = {k: z[k] for k in z.files}
+    nested = treelib.unflatten(flat)
+    meta_path = os.path.join(path, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return nested, meta
+
+
+def latest_checkpoint(checkpoint_dir: str, prefix: str = "") -> Optional[str]:
+    """Find the newest ``<prefix>epoch_<N>`` checkpoint directory for resume."""
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    best_epoch, best = -1, None
+    pat = re.compile(re.escape(prefix) + r"epoch_(\d+)$")
+    for name in os.listdir(checkpoint_dir):
+        m = pat.search(name)
+        full = os.path.join(checkpoint_dir, name)
+        if m and os.path.isdir(full) and os.path.exists(os.path.join(full, "arrays.npz")):
+            e = int(m.group(1))
+            if e > best_epoch:
+                best_epoch, best = e, full
+    return best
