@@ -1,0 +1,155 @@
+"""Dataset pairing and splits.
+
+Reproduces the reference's disk layout contract
+(``Dataset_Noise/<noise_type>/<person>/<img>`` paired with
+``Clean_dataset/<person>/<img>``, training.py:114-148 / preprocessing.py:
+19-31) including the sklearn 80/20 split with random_state=42, plus the
+TPU-native alternative: a clean-only dataset with on-device noise injection
+(no pre-rendered noisy copies at all).
+
+Bad files follow the reference's warn-and-skip contract (training.py:170-179
+returns None and collates it away) — here they are filtered at batch assembly
+with a logged warning; nothing is ever deleted from disk (unlike
+sr_ganpreprocess.py:34-41, which the reference uses to *delete* corrupt
+files — reproduced only behind an explicit flag in cli/noise_gen).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from celebrity_image_denoiser_tpu.data import imageio
+from celebrity_image_denoiser_tpu.utils.logging import get_logger
+
+logger = get_logger("cid_tpu.data")
+
+
+def collect_pairs(
+    noisy_base_dir: str,
+    clean_dir: str,
+    noise_types: Sequence[str],
+) -> List[Tuple[str, str]]:
+    """All (noisy_path, clean_path) pairs across noise types, walking
+    exactly like DenoiseDataset (training.py:124-140)."""
+    all_pairs: List[Tuple[str, str]] = []
+    for noise_type in noise_types:
+        noise_dir = os.path.join(noisy_base_dir, noise_type)
+        if not os.path.exists(noise_dir):
+            logger.warning("Noise directory %s does not exist.", noise_dir)
+            continue
+        for person_dir in sorted(os.listdir(noise_dir)):
+            person_noise_dir = os.path.join(noise_dir, person_dir)
+            person_clean_dir = os.path.join(clean_dir, person_dir)
+            if os.path.isdir(person_noise_dir) and os.path.exists(person_clean_dir):
+                for filename in sorted(os.listdir(person_noise_dir)):
+                    if filename.lower().endswith(imageio.IMAGE_EXTS):
+                        noisy_path = os.path.join(person_noise_dir, filename)
+                        clean_path = os.path.join(person_clean_dir, filename)
+                        if os.path.exists(clean_path):
+                            all_pairs.append((noisy_path, clean_path))
+    return all_pairs
+
+
+def train_test_split_pairs(pairs: List, test_split: float = 0.2, seed: int = 42):
+    """80/20 split; uses sklearn with random_state=seed for bit-exact parity
+    with the reference (training.py:144) when sklearn is present, otherwise
+    an equivalent shuffled split."""
+    if not pairs:
+        raise ValueError("No valid image pairs found. Check dataset paths and files.")
+    try:
+        from sklearn.model_selection import train_test_split
+
+        return train_test_split(pairs, test_size=test_split, random_state=seed)
+    except ImportError:
+        rng = np.random.default_rng(seed)
+        idx = rng.permutation(len(pairs))
+        n_test = int(round(len(pairs) * test_split))
+        test = [pairs[i] for i in idx[:n_test]]
+        train = [pairs[i] for i in idx[n_test:]]
+        return train, test
+
+
+class PairedImageDataset:
+    """Noisy/clean pairs from disk, normalized to [-1,1] float32 NHWC.
+
+    __getitem__ returns (noisy, clean) float32 HWC or None on decode error
+    (the reference's None-and-filter contract)."""
+
+    def __init__(
+        self,
+        noisy_base_dir: str,
+        clean_dir: str,
+        noise_types: Sequence[str] = ("gaussian", "salt_pepper", "speckle", "poisson", "uniform"),
+        image_size: Optional[Tuple[int, int]] = None,
+        test_split: float = 0.2,
+        split_seed: int = 42,
+        normalize: bool = True,
+    ):
+        pairs = collect_pairs(noisy_base_dir, clean_dir, noise_types)
+        self.image_pairs, self.test_image_pairs = train_test_split_pairs(
+            pairs, test_split, split_seed
+        )
+        logger.info(
+            "Loaded %d training image pairs and %d test image pairs.",
+            len(self.image_pairs), len(self.test_image_pairs),
+        )
+        self.image_size = image_size
+        self.normalize = normalize
+
+    def __len__(self):
+        return len(self.image_pairs)
+
+    def _load(self, path: str) -> np.ndarray:
+        size = None if self.image_size is None else (self.image_size[1], self.image_size[0])
+        arr = imageio.to_float01(imageio.imread_rgb(path, size))
+        if self.normalize:
+            arr = imageio.normalize(arr)
+        return arr
+
+    def __getitem__(self, idx: int):
+        noisy_path, clean_path = self.image_pairs[idx]
+        try:
+            return self._load(noisy_path), self._load(clean_path)
+        except Exception as e:  # warn-and-skip contract
+            logger.warning("Error loading images: %s, %s. Error: %s",
+                           noisy_path, clean_path, e)
+            return None
+
+    def get_test(self, idx: int):
+        noisy_path, clean_path = self.test_image_pairs[idx]
+        return self._load(noisy_path), self._load(clean_path)
+
+
+class CleanImageDataset:
+    """Clean images only — the TPU-native path where noise is injected on
+    device per batch (data.noise.random_noise_batch) instead of being
+    pre-rendered to disk."""
+
+    def __init__(
+        self,
+        clean_dir: str,
+        image_size: Optional[Tuple[int, int]] = (256, 256),
+        test_split: float = 0.2,
+        split_seed: int = 42,
+    ):
+        paths = imageio.list_images(clean_dir)
+        if not paths:
+            raise ValueError(f"No images found under {clean_dir}")
+        self.train_paths, self.test_paths = train_test_split_pairs(
+            paths, test_split, split_seed
+        )
+        self.image_size = image_size
+
+    def __len__(self):
+        return len(self.train_paths)
+
+    def __getitem__(self, idx: int):
+        size = None if self.image_size is None else (self.image_size[1], self.image_size[0])
+        try:
+            return imageio.to_float01(imageio.imread_rgb(self.train_paths[idx], size))
+        except Exception as e:
+            logger.warning("Error loading %s: %s", self.train_paths[idx], e)
+            return None

@@ -1,0 +1,77 @@
+"""Host-side image decode/encode and normalization helpers.
+
+Decode is the one stage that stays on the host (JPEG/PNG entropy coding does
+not map to the MXU); everything after — resize, normalize, noise — runs on
+device.  A native C++ decode/resize fast path lives in data/_native (built
+via setuptools); PIL is the portable fallback.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tiff")
+
+
+def imread_rgb(path_or_bytes, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Decode to uint8 RGB HWC; optional bicubic resize to (w, h) like the
+    reference's ``Image.open(...).convert('RGB').resize(size, BICUBIC)``
+    (noise_generation.py:60-61)."""
+    from PIL import Image
+
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        img = Image.open(io.BytesIO(path_or_bytes))
+    else:
+        img = Image.open(path_or_bytes)
+    img = img.convert("RGB")
+    if size is not None:
+        img = img.resize(size, Image.Resampling.BICUBIC)
+    return np.asarray(img, dtype=np.uint8)
+
+
+def imwrite(path: str, arr: np.ndarray) -> None:
+    """Save uint8 HWC RGB."""
+    from PIL import Image
+
+    Image.fromarray(np.asarray(arr, dtype=np.uint8)).save(path)
+
+
+def encode_png_base64(arr: np.ndarray) -> str:
+    """uint8 HWC → base64 PNG string (serving contract ``to_base64_png``,
+    reference app.py:288-292)."""
+    import base64
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.asarray(arr, dtype=np.uint8)).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("utf-8")
+
+
+def to_float01(arr: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] → float32 [0,1] (torchvision ToTensor semantics)."""
+    return np.asarray(arr, dtype=np.float32) / 255.0
+
+
+def normalize(arr: np.ndarray, mean=0.5, std=0.5) -> np.ndarray:
+    """[0,1] → [-1,1] with the reference's Normalize(0.5, 0.5)."""
+    return (arr - mean) / std
+
+
+def denormalize(arr, mean=0.5, std=0.5):
+    """Inverse of normalize; the ``denorm_for_view``/``*0.5+0.5`` paths
+    (app.py:283-286,435)."""
+    return arr * std + mean
+
+
+def list_images(root: str) -> List[str]:
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.lower().endswith(IMAGE_EXTS):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)

@@ -1,0 +1,82 @@
+"""LPIPS-style perceptual distance on device.
+
+The reference uses ``lpips.LPIPS(net='alex'|'vgg')`` (training.py:282,
+esrgan_train.py:65), which needs downloaded pretrained weights.  This
+implementation follows the LPIPS recipe — per-layer unit-normalized feature
+differences, spatially averaged, summed over layers — on the framework's
+VGGFeatures tower.  With imported torchvision VGG16 weights it reproduces
+lpips-vgg's architecture (uniform layer weights); with random init it is
+still a deterministic perceptual-distance metric (random-feature distances
+are a known useful proxy), clearly labeled as such.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from celebrity_image_denoiser_tpu.core import prng
+from celebrity_image_denoiser_tpu.models.vgg import VGGFeatures
+
+# torchvision ImageNet normalization (inputs arrive in [0,1])
+_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+_STD = jnp.asarray([0.229, 0.224, 0.225])
+
+# slice indices (exclusive ends) inside features[:16] marking relu1_2,
+# relu2_2, relu3_3 — the lpips-vgg tap points available in our tower
+_TAPS = ("3", "8", "15")
+
+
+class PerceptualDistance:
+    """d(a, b) per image; a, b NHWC in [0,1]."""
+
+    def __init__(self, params=None, state=None, seed: int = 0):
+        self.net = VGGFeatures()
+        if params is None:
+            params, state = self.net.init(prng.key(seed))
+            self.pretrained = False
+        else:
+            self.pretrained = True
+        self.params, self.state = params, state
+        self._fn = jax.jit(self._distance)
+
+    def _taps(self, x):
+        """Run the tower, collecting activations after the tap relus."""
+        seq = self.net.children["slice"]
+        p = self.params.get("slice", {})
+        s = self.state.get("slice", {})
+        outs = []
+        h = x
+        for name in seq.children:
+            h, _ = seq.children[name].apply(p.get(name, {}), s.get(name, {}), h)
+            if name in _TAPS:
+                outs.append(h)
+        return outs
+
+    def _distance(self, a, b):
+        a = (a - _MEAN) / _STD
+        b = (b - _MEAN) / _STD
+        fa, fb = self._taps(a), self._taps(b)
+        total = 0.0
+        for xa, xb in zip(fa, fb):
+            na = xa * jax.lax.rsqrt(jnp.sum(xa * xa, -1, keepdims=True) + 1e-10)
+            nb = xb * jax.lax.rsqrt(jnp.sum(xb * xb, -1, keepdims=True) + 1e-10)
+            d = jnp.mean((na - nb) ** 2, axis=(1, 2))  # spatial average
+            total = total + jnp.mean(d, axis=-1)  # uniform layer weights
+        return total
+
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        return self._fn(a, b)
+
+    @classmethod
+    def from_torchvision_pth(cls, path: str):
+        """Build with imported torchvision vgg16 weights (.pth)."""
+        net = VGGFeatures()
+        params, state = net.init(prng.key(0))
+        from celebrity_image_denoiser_tpu.ckpt import load_pth_safely
+
+        params, state = load_pth_safely(net, path, params, state,
+                                        key_candidates=("state_dict", "features"))
+        return cls(params, state)

@@ -1,0 +1,398 @@
+"""GAN trainers — one jit-compiled step per model family.
+
+Reproduces the four reference training loops as pure jitted functions:
+
+* **denoise** (training.py:394-472): alternating D/G Adam steps.  D sees
+  BCE(real→1)+BCE(fake→0) with the fake detached; G then optimizes
+  MSE + 0.001·BCE(fake→1) **through the already-updated D** (torch updates D
+  first, then computes the G loss with the stepped discriminator,
+  training.py:409-426).
+* **srgan** (sr_ganTrainGNew.py:377-455): same skeleton, content loss =
+  VGG-perceptual MSE (sr_ganTrainGNew.py:403-409).
+* **esrgan** (esrgan_train.py:89-176): D loss 0.5·(BCEWithLogits real+fake);
+  G = MSE + 1e-3·BCEWithLogits(fake→1).
+* **cgan** (training5Pbar.py:77-97): *joint* update — G and D gradients both
+  taken against the pre-update parameters (two GradientTapes over one
+  forward), G = BCE(fake→1) + 100·MAE.
+
+TPU-native deltas from the reference (all defaults, reference behavior
+available as options):
+* metrics (PSNR/SSIM) are computed **on device inside the jitted step** and
+  returned as scalars — the reference round-trips every batch to CPU numpy
+  (training.py:378-392), its biggest throughput sin per SURVEY.md §3.2;
+* noise can be injected on device per batch (on_the_fly) instead of reading
+  pre-rendered noisy files;
+* with a mesh, the step is jitted with NamedShardings: batch sharded over
+  the ``data`` axis, params replicated — XLA inserts the psum gradient
+  all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from celebrity_image_denoiser_tpu import metrics as M
+from celebrity_image_denoiser_tpu.ckpt import checkpoint as ckpt_lib
+from celebrity_image_denoiser_tpu.core.config import TrainConfig
+from celebrity_image_denoiser_tpu.core import prng
+from celebrity_image_denoiser_tpu.data import noise as noise_lib
+from celebrity_image_denoiser_tpu.train import losses as L
+from celebrity_image_denoiser_tpu.train import optim
+from celebrity_image_denoiser_tpu.utils.logging import get_logger
+
+logger = get_logger("cid_tpu.train")
+
+FAMILIES = ("denoise", "srgan", "esrgan", "cgan", "dncnn")
+
+
+def make_train_step(
+    generator,
+    discriminator,
+    *,
+    family: str = "denoise",
+    adv_weight: float = 0.001,
+    cgan_mae_weight: float = 100.0,
+    perceptual: Optional[Callable] = None,
+    adam_b1: float = 0.9,
+    adam_b2: float = 0.999,
+    on_the_fly_noise: bool = False,
+    noise_variant: int = 1,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
+    donate: bool = True,
+):
+    """Build (init_fn, step_fn).
+
+    step_fn(carry, noisy, clean, key, lr_g, lr_d) -> (carry, metrics)
+    where carry = (g_params, g_state, d_params, d_state, g_opt, d_opt).
+    With ``on_the_fly_noise`` the ``noisy`` argument is ignored and noise is
+    drawn on device from ``key`` over the clean batch.
+    """
+    if family not in FAMILIES:
+        raise ValueError(f"unknown family {family!r}; choose from {FAMILIES}")
+    if family == "srgan" and perceptual is None:
+        raise ValueError("srgan family needs a perceptual loss (make_vgg_perceptual)")
+
+    _, adam_update = optim.adam(adam_b1, adam_b2)
+    adam_init, _ = optim.adam(adam_b1, adam_b2)
+
+    use_logits = family == "esrgan"
+    d_crit = L.bce_with_logits if use_logits else L.bce
+
+    def content_loss(fake, clean):
+        if family == "srgan":
+            return perceptual(fake, clean)
+        if family == "cgan":
+            return L.mae(fake, clean)
+        return L.mse(fake, clean)
+
+    def eval_metrics(fake, clean):
+        """On-device PSNR/SSIM with the family's data_range quirk."""
+        if family == "esrgan":
+            f = jnp.clip(fake, 0.0, 1.0)
+            c = jnp.clip(clean, 0.0, 1.0)
+            return (jnp.mean(M.psnr(f, c, data_range=1.0)),
+                    jnp.mean(M.ssim(f, c, data_range=1.0)))
+        if family == "cgan":  # tf.image convention, max_val=2.0
+            return (jnp.mean(M.psnr(fake, clean, data_range=2.0)),
+                    jnp.mean(M.ssim_tf(fake, clean, max_val=2.0)))
+        return (jnp.mean(M.psnr(fake, clean, data_range=2.0)),
+                jnp.mean(M.ssim(fake, clean, data_range=2.0)))
+
+    def step(carry, noisy, clean, key, lr_g, lr_d):
+        g_params, g_state, d_params, d_state, g_opt, d_opt = carry
+
+        if on_the_fly_noise:
+            # clean arrives in [-1,1]; inject noise in [0,1] domain then
+            # renormalize — same convention as the disk pipeline.
+            clean01 = clean * 0.5 + 0.5
+            noisy01 = noise_lib.random_noise_batch(key, clean01, variant=noise_variant)
+            noisy = noisy01 * 2.0 - 1.0
+            if family == "esrgan":  # esrgan trains in [0,1]
+                noisy, clean = noisy01, clean01
+
+        if family == "dncnn":
+            # plain supervised MSE on the residual denoiser (no D)
+            def loss_fn(gp):
+                fake, gs = generator.apply(gp, g_state, noisy, train=True)
+                return L.mse(fake, clean), (gs, fake)
+
+            (g_loss, (g_state_new, fake)), g_grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(g_params)
+            g_params_new, g_opt_new = adam_update(g_grads, g_opt, g_params, lr_g)
+            psnr_v, ssim_v = eval_metrics(fake, clean)
+            carry = (g_params_new, g_state_new, d_params, d_state, g_opt_new, d_opt)
+            return carry, {"g_loss": g_loss, "d_loss": jnp.zeros(()),
+                           "psnr": psnr_v, "ssim": ssim_v}
+
+        # ---- discriminator loss/grads (fake detached) ----------------------
+        fake0, g_state_fake = generator.apply(g_params, g_state, noisy, train=True)
+        fake_detached = jax.lax.stop_gradient(fake0)
+
+        def d_loss_fn(dp):
+            real_pred, ds1 = discriminator.apply(dp, d_state, clean, train=True)
+            fake_pred, ds2 = discriminator.apply(dp, ds1, fake_detached, train=True)
+            dl = d_crit(real_pred, 1.0) + d_crit(fake_pred, 0.0)
+            if family == "esrgan":
+                dl = 0.5 * dl  # esrgan_train.py:110
+            return dl, ds2
+
+        (d_loss, d_state_after_d), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_params)
+
+        if family == "cgan":
+            # joint update: G grads against the PRE-update discriminator
+            def g_loss_fn(gp):
+                fake, gs = generator.apply(gp, g_state, noisy, train=True)
+                fake_pred, ds = discriminator.apply(d_params, d_state_after_d,
+                                                    fake, train=True)
+                gl = d_crit(fake_pred, 1.0) + cgan_mae_weight * content_loss(fake, clean)
+                return gl, (gs, ds, fake)
+
+            (g_loss, (g_state_new, d_state_new, fake)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(g_params)
+            d_params_new, d_opt_new = adam_update(d_grads, d_opt, d_params, lr_d)
+            g_params_new, g_opt_new = adam_update(g_grads, g_opt, g_params, lr_g)
+        else:
+            # alternating: D steps first, G optimizes through the updated D
+            d_params_new, d_opt_new = adam_update(d_grads, d_opt, d_params, lr_d)
+
+            def g_loss_fn(gp):
+                fake, gs = generator.apply(gp, g_state, noisy, train=True)
+                fake_pred, ds = discriminator.apply(d_params_new, d_state_after_d,
+                                                    fake, train=True)
+                gl = content_loss(fake, clean) + adv_weight * d_crit(fake_pred, 1.0)
+                return gl, (gs, ds, fake)
+
+            (g_loss, (g_state_new, d_state_new, fake)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(g_params)
+            g_params_new, g_opt_new = adam_update(g_grads, g_opt, g_params, lr_g)
+
+        psnr_v, ssim_v = eval_metrics(fake, clean)
+        carry = (g_params_new, g_state_new, d_params_new, d_state_new,
+                 g_opt_new, d_opt_new)
+        return carry, {"g_loss": g_loss, "d_loss": d_loss,
+                       "psnr": psnr_v, "ssim": ssim_v}
+
+    # ---- jit with optional DP shardings ------------------------------------
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        batch_sh = NamedSharding(mesh, P(data_axis))
+        carry_sh = (repl, repl, repl, repl, repl, repl)
+        step = jax.jit(
+            step,
+            in_shardings=(carry_sh, batch_sh, batch_sh, repl, repl, repl),
+            out_shardings=(carry_sh, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+    else:
+        step = jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def init_fn(rng: jax.Array):
+        kg, kd = jax.random.split(rng)
+        g_params, g_state = generator.init(kg)
+        if discriminator is not None:
+            d_params, d_state = discriminator.init(kd)
+        else:
+            d_params, d_state = {}, {}
+        g_opt = adam_init(g_params)
+        d_opt = adam_init(d_params)
+        return (g_params, g_state, d_params, d_state, g_opt, d_opt)
+
+    return init_fn, step
+
+
+class GANTrainer:
+    """Host-side training loop: epochs over a DataPipeline, per-epoch StepLR,
+    checkpoint cadence + best-PSNR tracking + metric history + optional
+    per-epoch test-image render — the DenoiseGANTrainer contract
+    (training.py:230-472) with resume support added."""
+
+    def __init__(
+        self,
+        generator,
+        discriminator,
+        pipeline,
+        cfg: TrainConfig = TrainConfig(),
+        *,
+        family: Optional[str] = None,
+        perceptual: Optional[Callable] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        test_pair: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        extra_metrics: bool = False,
+    ):
+        self.cfg = cfg
+        self.family = family or cfg.model
+        self.generator = generator
+        self.discriminator = discriminator
+        self.pipeline = pipeline
+        self.mesh = mesh
+        self.test_pair = test_pair
+        self.extra_metrics = extra_metrics
+
+        self.init_fn, self.step_fn = make_train_step(
+            generator,
+            discriminator,
+            family=self.family,
+            adv_weight=cfg.adv_weight,
+            cgan_mae_weight=cfg.cgan_mae_weight,
+            perceptual=perceptual,
+            adam_b1=cfg.betas[0],
+            adam_b2=cfg.betas[1],
+            on_the_fly_noise=cfg.on_the_fly_noise,
+            mesh=mesh,
+            data_axis=cfg.mesh_axis,
+        )
+        self.carry = self.init_fn(prng.key(cfg.seed))
+        self.schedule_g = optim.step_lr(cfg.lr, cfg.step_lr_step_size, cfg.step_lr_gamma)
+        self.schedule_d = optim.step_lr(cfg.lr, cfg.step_lr_step_size, cfg.step_lr_gamma)
+        self.start_epoch = 0
+        self.best_psnr = 0.0
+        self.metric_history: Dict[str, list] = {
+            k: [] for k in ("g_loss", "d_loss", "psnr", "ssim", "lpips", "msssim")
+        }
+        self._key_stream = prng.key_stream(cfg.seed + 1)
+        if self.extra_metrics:
+            self._pd = M.PerceptualDistance(seed=0)
+
+    # ---- checkpointing ------------------------------------------------------
+    def save_checkpoint(self, epoch: int, is_best: bool = False):
+        g_params, g_state, d_params, d_state, g_opt, d_opt = self.carry
+        sections = {
+            "generator": g_params, "generator_state": g_state,
+            "discriminator": d_params, "discriminator_state": d_state,
+            "g_optimizer": g_opt._asdict(), "d_optimizer": d_opt._asdict(),
+        }
+        meta = {
+            "epoch": epoch,
+            "best_psnr": self.best_psnr,
+            "metric_history": self.metric_history,
+            "family": self.family,
+        }
+        # cadence mirrors training.py:372 (first | last | even epochs)
+        if epoch == 0 or epoch == self.cfg.num_epochs - 1 or epoch % 2 == 0:
+            path = os.path.join(self.cfg.checkpoint_dir, f"{self.family}_epoch_{epoch}")
+            ckpt_lib.save_checkpoint(path, sections, meta)
+        if is_best:
+            path = os.path.join(self.cfg.checkpoint_dir, "best",
+                                f"{self.family}_epoch_{epoch}")
+            ckpt_lib.save_checkpoint(path, sections, meta)
+
+    def resume(self, path: Optional[str] = None) -> int:
+        """Restore trainer state; returns the next epoch to run.  This is
+        the capability the reference lacks (SURVEY.md §5: save-only)."""
+        if path is None:
+            path = ckpt_lib.latest_checkpoint(self.cfg.checkpoint_dir,
+                                              prefix=f"{self.family}_")
+        if path is None:
+            return 0
+        sections, meta = ckpt_lib.load_checkpoint(path)
+        g_params, g_state, d_params, d_state, g_opt, d_opt = self.carry
+
+        def overlay(new, old):
+            return new if new is not None else old
+
+        g_params = sections.get("generator", g_params)
+        g_state = sections.get("generator_state", g_state) or g_state
+        d_params = sections.get("discriminator", d_params)
+        d_state = sections.get("discriminator_state", d_state) or d_state
+        for name, tgt in (("g_optimizer", g_opt), ("d_optimizer", d_opt)):
+            sec = sections.get(name)
+            if sec:
+                st = optim.AdamState(step=jnp.asarray(sec["step"]),
+                                     mu=sec.get("mu", tgt.mu),
+                                     nu=sec.get("nu", tgt.nu))
+                if name == "g_optimizer":
+                    g_opt = st
+                else:
+                    d_opt = st
+        self.carry = (g_params, g_state, d_params, d_state, g_opt, d_opt)
+        self.best_psnr = float(meta.get("best_psnr", 0.0))
+        hist = meta.get("metric_history")
+        if hist:
+            self.metric_history = {k: list(v) for k, v in hist.items()}
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        logger.info("resumed from %s at epoch %d", path, self.start_epoch)
+        return self.start_epoch
+
+    # ---- evaluation helpers -------------------------------------------------
+    def generate(self, noisy: np.ndarray) -> np.ndarray:
+        g_params, g_state = self.carry[0], self.carry[1]
+        y, _ = self.generator.apply(g_params, g_state, jnp.asarray(noisy), train=False)
+        return np.asarray(y)
+
+    def _epoch_extras(self) -> Tuple[float, float]:
+        """Per-epoch LPIPS-style + MS-SSIM on the held-out test pair
+        (reference computes them per batch; we sample per epoch)."""
+        if not self.extra_metrics or self.test_pair is None:
+            return 0.0, 0.0
+        noisy, clean = self.test_pair
+        fake = self.generate(noisy[None] if noisy.ndim == 3 else noisy)
+        f01 = np.clip(fake * 0.5 + 0.5, 0, 1)
+        c01 = np.clip((clean[None] if clean.ndim == 3 else clean) * 0.5 + 0.5, 0, 1)
+        lp = float(np.mean(np.asarray(self._pd(jnp.asarray(f01), jnp.asarray(c01)))))
+        ms = 0.0
+        if f01.shape[1] >= 176 and f01.shape[2] >= 176:
+            ms = float(np.mean(np.asarray(M.ms_ssim(jnp.asarray(f01), jnp.asarray(c01),
+                                                    data_range=1.0))))
+        return lp, ms
+
+    # ---- the loop -------------------------------------------------------------
+    def train(self, epoch_callback: Optional[Callable] = None):
+        cfg = self.cfg
+        for epoch in range(self.start_epoch, cfg.num_epochs):
+            lr_g = jnp.asarray(self.schedule_g(epoch), jnp.float32)
+            lr_d = jnp.asarray(self.schedule_d(epoch), jnp.float32)
+            # metrics stay on device during the epoch — no per-step host sync
+            # (float() would block the async dispatch pipeline each batch)
+            step_metrics = []
+            n_batches = 0
+            t0 = time.perf_counter()
+            for batch in self.pipeline:
+                if isinstance(batch, tuple):
+                    noisy, clean = batch
+                else:
+                    clean = batch
+                    noisy = clean  # on-the-fly path ignores it
+                key = next(self._key_stream)
+                self.carry, m = self.step_fn(self.carry, noisy, clean, key, lr_g, lr_d)
+                step_metrics.append(m)
+                n_batches += 1
+            if n_batches:
+                stacked = jax.device_get(
+                    jax.tree.map(lambda *xs: jnp.stack(xs), *step_metrics))
+                sums = {k: float(np.sum(v)) for k, v in stacked.items()}
+            dt = time.perf_counter() - t0
+            if n_batches == 0:
+                logger.warning("Epoch [%d/%d] No valid batches processed.",
+                               epoch + 1, cfg.num_epochs)
+                continue
+            avgs = {k: v / n_batches for k, v in sums.items()}
+            lp, ms = self._epoch_extras()
+            self.metric_history["g_loss"].append(avgs["g_loss"])
+            self.metric_history["d_loss"].append(avgs["d_loss"])
+            self.metric_history["psnr"].append(avgs["psnr"])
+            self.metric_history["ssim"].append(avgs["ssim"])
+            self.metric_history["lpips"].append(lp)
+            self.metric_history["msssim"].append(ms)
+            logger.info(
+                "Epoch [%d/%d] G %.4f D %.4f | PSNR %.3f SSIM %.4f | %.1f img/s",
+                epoch + 1, cfg.num_epochs, avgs["g_loss"], avgs["d_loss"],
+                avgs["psnr"], avgs["ssim"],
+                n_batches * cfg.batch_size / max(dt, 1e-9),
+            )
+            is_best = avgs["psnr"] > self.best_psnr
+            if is_best:
+                self.best_psnr = avgs["psnr"]
+            self.save_checkpoint(epoch, is_best)
+            if epoch_callback is not None:
+                epoch_callback(self, epoch, avgs)
+        return self.metric_history

@@ -1,0 +1,102 @@
+"""Metric correctness: JAX PSNR/SSIM/MS-SSIM vs independent numpy references
+(skimage is not installed here; its algorithm is re-derived in numpy below)
+and vs torch where applicable."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from celebrity_image_denoiser_tpu import metrics
+
+
+# --- independent numpy SSIM implementing skimage's published algorithm -----
+
+def np_uniform_filter_valid(x, win):
+    from numpy.lib.stride_tricks import sliding_window_view
+    v = sliding_window_view(x, (win, win), axis=(0, 1))
+    return v.mean(axis=(-2, -1))
+
+
+def np_ssim_skimage(a, b, data_range, win=7):
+    """channel-wise skimage structural_similarity, defaults."""
+    k1, k2 = 0.01, 0.03
+    c1, c2 = (k1 * data_range) ** 2, (k2 * data_range) ** 2
+    npix = win * win
+    norm = npix / (npix - 1)
+    vals = []
+    for c in range(a.shape[-1]):
+        x, y = a[..., c], b[..., c]
+        ux = np_uniform_filter_valid(x, win)
+        uy = np_uniform_filter_valid(y, win)
+        uxx = np_uniform_filter_valid(x * x, win)
+        uyy = np_uniform_filter_valid(y * y, win)
+        uxy = np_uniform_filter_valid(x * y, win)
+        vx = norm * (uxx - ux * ux)
+        vy = norm * (uyy - uy * uy)
+        vxy = norm * (uxy - ux * uy)
+        s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+            (ux ** 2 + uy ** 2 + c1) * (vx + vy + c2))
+        vals.append(s.mean())
+    return float(np.mean(vals))
+
+
+def test_psnr_known_value():
+    a = np.zeros((8, 8, 3), np.float32)
+    b = np.full((8, 8, 3), 0.1, np.float32)
+    # mse = 0.01 → psnr = 10*log10(1/0.01) = 20 dB at data_range 1
+    got = float(metrics.psnr(jnp.asarray(a), jnp.asarray(b), data_range=1.0))
+    assert abs(got - 20.0) < 1e-4
+    # data_range=2.0 quirk (training.py:382): +~6.02 dB
+    got2 = float(metrics.psnr(jnp.asarray(a), jnp.asarray(b), data_range=2.0))
+    assert abs(got2 - (20.0 + 20 * np.log10(2))) < 1e-3
+
+
+def test_ssim_matches_skimage_algorithm(rng_np):
+    a = rng_np.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    b = np.clip(a + rng_np.normal(0, 0.1, a.shape), -1, 1).astype(np.float32)
+    ref = np_ssim_skimage(a, b, data_range=2.0)
+    got = float(metrics.ssim(jnp.asarray(a), jnp.asarray(b), data_range=2.0))
+    assert abs(got - ref) < 1e-5
+
+
+def test_ssim_identity_and_ordering(rng_np):
+    a = rng_np.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    same = np.asarray(metrics.ssim(jnp.asarray(a), jnp.asarray(a), data_range=1.0))
+    np.testing.assert_allclose(same, 1.0, atol=1e-6)
+    noisy1 = np.clip(a + rng_np.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
+    noisy2 = np.clip(a + rng_np.normal(0, 0.3, a.shape), 0, 1).astype(np.float32)
+    s1 = np.asarray(metrics.ssim(jnp.asarray(a), jnp.asarray(noisy1), data_range=1.0))
+    s2 = np.asarray(metrics.ssim(jnp.asarray(a), jnp.asarray(noisy2), data_range=1.0))
+    assert (s1 > s2).all()
+
+
+def test_ssim_tf_convention(rng_np):
+    a = rng_np.uniform(-1, 1, (1, 48, 48, 3)).astype(np.float32)
+    same = float(metrics.ssim_tf(jnp.asarray(a), jnp.asarray(a), max_val=2.0)[0])
+    assert abs(same - 1.0) < 1e-5
+    b = np.clip(a + rng_np.normal(0, 0.2, a.shape), -1, 1).astype(np.float32)
+    val = float(metrics.ssim_tf(jnp.asarray(a), jnp.asarray(b), max_val=2.0)[0])
+    assert 0.0 < val < 1.0
+
+
+def test_ms_ssim_identity_and_monotonic(rng_np):
+    a = rng_np.uniform(0, 1, (1, 176, 176, 3)).astype(np.float32)
+    same = float(metrics.ms_ssim(jnp.asarray(a), jnp.asarray(a), data_range=1.0)[0])
+    assert abs(same - 1.0) < 1e-5
+    n1 = np.clip(a + rng_np.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
+    n2 = np.clip(a + rng_np.normal(0, 0.3, a.shape), 0, 1).astype(np.float32)
+    m1 = float(metrics.ms_ssim(jnp.asarray(a), jnp.asarray(n1), data_range=1.0)[0])
+    m2 = float(metrics.ms_ssim(jnp.asarray(a), jnp.asarray(n2), data_range=1.0)[0])
+    assert m1 > m2 > 0.0
+
+
+def test_perceptual_distance_properties(rng_np):
+    pd = metrics.PerceptualDistance(seed=0)
+    a = rng_np.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    d0 = np.asarray(pd(jnp.asarray(a), jnp.asarray(a)))
+    np.testing.assert_allclose(d0, 0.0, atol=1e-6)
+    b = np.clip(a + rng_np.normal(0, 0.2, a.shape), 0, 1).astype(np.float32)
+    d1 = np.asarray(pd(jnp.asarray(a), jnp.asarray(b)))
+    assert (d1 > 0).all()
+    assert not pd.pretrained

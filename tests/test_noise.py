@@ -1,0 +1,92 @@
+"""Statistical checks for the on-device noise ops (all 3 reference variants).
+
+Exact RNG streams differ from NumPy's MT19937 by design (counter-based
+Threefry on device); distributional parameters must match the reference
+functions cited in data/noise.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from celebrity_image_denoiser_tpu.data import noise
+
+
+KEY = jax.random.PRNGKey(0)
+IMG = jnp.full((64, 64, 3), 0.5, jnp.float32)
+
+
+def test_gaussian_v1_sigma25():
+    out = noise.add_noise(KEY, IMG, "gaussian", variant=1)
+    delta = np.asarray(out - IMG)
+    assert abs(delta.std() * 255 - 25.0) < 1.5
+    assert abs(delta.mean()) < 0.01
+    assert out.min() >= 0 and out.max() <= 1
+
+
+def test_salt_pepper_v1_fractions():
+    out = np.asarray(noise.add_noise(KEY, IMG, "salt_pepper", variant=1))
+    salt = (out == 1.0).all(axis=-1).mean()
+    pepper = (out == 0.0).all(axis=-1).mean()
+    assert abs(salt - 0.02) < 0.01
+    assert abs(pepper - 0.02) < 0.01
+
+
+def test_salt_pepper_v2_amount():
+    out = np.asarray(noise.add_noise(KEY, IMG, "salt_pepper", variant=2))
+    flipped = ((out == 1.0) | (out == 0.0)).mean()
+    assert abs(flipped - 0.05) < 0.01
+
+
+def test_speckle_multiplicative():
+    img = jnp.full((64, 64, 3), 0.8, jnp.float32)
+    out = noise.add_noise(KEY, img, "speckle", variant=1)
+    delta = np.asarray(out - img)
+    # std ≈ img * sigma = 0.8 * 0.1 (clip shaves a bit)
+    assert abs(delta.std() - 0.08) < 0.01
+
+
+def test_poisson_v1_mean_preserving():
+    out = noise.add_noise(KEY, IMG, "poisson", variant=1)
+    assert abs(float(out.mean()) - 0.5) < 0.01
+    # poisson at λ=127.5: std ≈ sqrt(127.5)/255 ≈ 0.0443
+    assert abs(float(jnp.std(out)) - np.sqrt(127.5) / 255) < 0.01
+
+
+def test_uniform_variants():
+    o1 = np.asarray(noise.add_noise(KEY, IMG, "uniform", variant=1)) - 0.5
+    assert o1.min() >= 0 and o1.max() <= 25 / 255 + 1e-6  # [0, 25)
+    o2 = np.asarray(noise.add_noise(KEY, IMG, "uniform", variant=2)) - 0.5
+    assert abs(o2.mean()) < 0.01  # symmetric [-50, 50)
+    o3 = np.asarray(noise.add_noise(KEY, IMG, "uniform", variant=3)) - 0.5
+    assert np.abs(o3).max() <= 0.05 + 1e-6
+
+
+def test_gaussian_v3_var():
+    out = noise.add_noise(KEY, IMG, "gaussian", variant=3)
+    assert abs(float(jnp.std(out - IMG)) - 0.1) < 0.01
+
+
+def test_unknown_kind_raises():
+    with pytest.raises(ValueError, match="unknown noise"):
+        noise.add_noise(KEY, IMG, "perlin", variant=1)
+
+
+def test_random_noise_batch_jits_and_varies():
+    batch = jnp.tile(IMG[None], (8, 1, 1, 1))
+    out = noise.random_noise_batch(KEY, batch, variant=1)
+    assert out.shape == batch.shape
+    # different samples got different noise
+    deltas = np.asarray(out - batch).reshape(8, -1)
+    stds = deltas.std(axis=1)
+    assert len(np.unique(np.round(stds, 4))) > 1
+
+
+def test_blind_gaussian_sigma_range():
+    batch = jnp.full((16, 32, 32, 3), 0.5, jnp.float32)
+    out = noise.blind_gaussian_batch(KEY, batch, 5.0, 50.0)
+    stds = np.asarray(out - batch).reshape(16, -1).std(axis=1) * 255
+    assert stds.min() > 2.0 and stds.max() < 60.0
+    assert stds.max() - stds.min() > 10.0  # actually blind, not fixed
