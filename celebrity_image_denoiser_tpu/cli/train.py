@@ -1,0 +1,121 @@
+"""Training CLI.
+
+Replaces the reference's interactive ``input()`` prompts and hard-coded
+constants (training.py:495-508) with flags over TrainConfig.  Examples:
+
+  # TPU-native on-the-fly noise over a clean dataset (no disk noisy copies)
+  python -m celebrity_image_denoiser_tpu.cli.train --model denoise \
+      --clean-dir Clean_dataset --num-epochs 20
+
+  # reference-parity disk-pair pipeline
+  python -m celebrity_image_denoiser_tpu.cli.train --model denoise \
+      --clean-dir Clean_dataset --noisy-dir Dataset_Noise --no-on-the-fly
+
+  # resume
+  python -m celebrity_image_denoiser_tpu.cli.train ... --resume
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from celebrity_image_denoiser_tpu import models as M
+from celebrity_image_denoiser_tpu.core.config import TrainConfig
+from celebrity_image_denoiser_tpu.data.datasets import (
+    CleanImageDataset,
+    PairedImageDataset,
+)
+from celebrity_image_denoiser_tpu.data.pipeline import DataPipeline
+from celebrity_image_denoiser_tpu.train.gan_trainer import GANTrainer
+from celebrity_image_denoiser_tpu.viz.training_plots import plot_metrics
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train a GAN family on TPU")
+    p.add_argument("--model", default="denoise",
+                   choices=["denoise", "srgan", "esrgan", "cgan", "dncnn"])
+    p.add_argument("--clean-dir", default="Clean_dataset")
+    p.add_argument("--noisy-dir", default="Dataset_Noise")
+    p.add_argument("--num-epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--image-size", type=int, nargs=2, default=(256, 256))
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--checkpoint-dir", default="checkpoint")
+    p.add_argument("--graph-dir", default="graphs")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-on-the-fly", action="store_true",
+                   help="read pre-rendered noisy pairs from --noisy-dir "
+                        "(reference-parity pipeline)")
+    p.add_argument("--noise-variant", type=int, default=1, choices=[1, 2, 3])
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-data-parallel", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = TrainConfig(
+        model=args.model,
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        image_size=tuple(args.image_size),
+        lr=args.lr,
+        seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+        graph_dir=args.graph_dir,
+        on_the_fly_noise=not args.no_on_the_fly,
+        data_parallel=not args.no_data_parallel,
+    )
+
+    import jax
+
+    mesh = None
+    if cfg.data_parallel and len(jax.devices()) > 1:
+        from celebrity_image_denoiser_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+
+    if cfg.on_the_fly_noise:
+        ds = CleanImageDataset(args.clean_dir, image_size=cfg.image_size,
+                               test_split=cfg.test_split, split_seed=cfg.split_seed)
+
+        class Normalized:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                x = ds[i]
+                return None if x is None else x * 2.0 - 1.0
+
+        dataset = Normalized()
+    else:
+        dataset = PairedImageDataset(
+            args.noisy_dir, args.clean_dir, cfg.noise_types,
+            image_size=cfg.image_size, test_split=cfg.test_split,
+            split_seed=cfg.split_seed)
+
+    pipeline = DataPipeline(dataset, cfg.batch_size, shuffle=True,
+                            seed=cfg.seed, drop_last=True)
+
+    gen = M.build_generator(args.model if args.model != "dncnn" else "dncnn")
+    disc = None if args.model == "dncnn" else M.build_discriminator(args.model)
+    perceptual = None
+    if args.model == "srgan":
+        from celebrity_image_denoiser_tpu.core import prng
+        from celebrity_image_denoiser_tpu.train.losses import make_vgg_perceptual
+
+        vgg = M.VGGFeatures()
+        vp, vs = vgg.init(prng.key(99))
+        perceptual = make_vgg_perceptual(vgg, vp, vs)
+
+    trainer = GANTrainer(gen, disc, pipeline, cfg, family=args.model,
+                         perceptual=perceptual, mesh=mesh)
+    if args.resume:
+        trainer.resume()
+    history = trainer.train()
+    plot_metrics(history, cfg.graph_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

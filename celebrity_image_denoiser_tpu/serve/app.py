@@ -1,0 +1,169 @@
+"""HTTP server exposing the reference API contract.
+
+Two deployments:
+* ``make_server`` / ``run_server`` — stdlib ``ThreadingHTTPServer`` (no
+  external web framework needed; requests serialize through the single
+  TPU anyway, mirroring the reference's intentionally-sequential pipeline,
+  page.tsx:123).
+* ``create_fastapi_app`` — optional FastAPI factory with the identical
+  routes, used when fastapi/uvicorn are installed.
+
+Routes (reference backend/app.py:348-503):
+    GET  /            → {"message", "models", "default_backends"}
+    POST /enhance?model=...&cgan_backend=...  multipart: file, [label],
+         [cond_file] → {"denoised_image_base64", "noise_graph_base64",
+         "backend"} | {"detail"} with 400/500
+    GET  /ui          → built-in web UI (frontend parity, serve/static)
+CORS is wide-open like the reference (app.py:27-30).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from celebrity_image_denoiser_tpu.serve.handlers import EnhanceError, ServeState
+from celebrity_image_denoiser_tpu.serve.multipart import parse_multipart
+from celebrity_image_denoiser_tpu.utils.logging import get_logger
+
+logger = get_logger("cid_tpu.serve.http")
+
+_CORS = {
+    "Access-Control-Allow-Origin": "*",
+    "Access-Control-Allow-Methods": "*",
+    "Access-Control-Allow-Headers": "*",
+    "Access-Control-Allow-Credentials": "true",
+}
+
+
+def _ui_html() -> str:
+    path = os.path.join(os.path.dirname(__file__), "static", "index.html")
+    with open(path) as f:
+        return f.read()
+
+
+def make_server(host: str = "0.0.0.0", port: int = 8000,
+                state: Optional[ServeState] = None,
+                weights_dir: str = "weights") -> ThreadingHTTPServer:
+    st = state or ServeState(weights_dir=weights_dir)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through our logger
+            logger.info("%s " + fmt, self.client_address[0], *args)
+
+        def _send(self, status: int, payload, content_type="application/json"):
+            body = (json.dumps(payload) if content_type == "application/json"
+                    else payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in _CORS.items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_OPTIONS(self):
+            self._send(200, {})
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path == "/":
+                self._send(200, st.info())
+            elif parsed.path == "/ui":
+                self._send(200, _ui_html(), content_type="text/html")
+            else:
+                self._send(404, {"detail": "Not Found"})
+
+        def do_POST(self):
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path != "/enhance":
+                self._send(404, {"detail": "Not Found"})
+                return
+            try:
+                qs = urllib.parse.parse_qs(parsed.query)
+                model = (qs.get("model", [""])[0] or "").strip()
+                cgan_backend = qs.get("cgan_backend", ["auto"])[0]
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                if not ctype.startswith("multipart/form-data"):
+                    raise EnhanceError(400, "Expected multipart/form-data")
+                parts = parse_multipart(body, ctype)
+                if "file" not in parts:
+                    raise EnhanceError(400, "Uploaded file must be an image")
+                fpart = parts["file"]
+                label = None
+                if "label" in parts:
+                    try:
+                        label = int(parts["label"].data.decode().strip())
+                    except ValueError:
+                        raise EnhanceError(400, "label must be an integer")
+                cond = parts.get("cond_file")
+                result = st.enhance(
+                    model=model,
+                    file_bytes=fpart.data,
+                    content_type=fpart.content_type or "",
+                    cgan_backend=cgan_backend,
+                    label=label,
+                    cond_bytes=cond.data if cond else None,
+                )
+                self._send(200, result)
+            except EnhanceError as e:
+                self._send(e.status, {"detail": e.detail})
+            except Exception as e:
+                logger.error("Enhancement failed: %s", e, exc_info=True)
+                self._send(500, {"detail": "Image enhancement failed"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.state = st
+    return server
+
+
+def run_server(host: str = "0.0.0.0", port: int = 8000,
+               weights_dir: str = "weights") -> None:
+    server = make_server(host, port, weights_dir=weights_dir)
+    logger.info("Unified GAN API listening on %s:%d", host, port)
+    server.serve_forever()
+
+
+def create_fastapi_app(weights_dir: str = "weights"):
+    """FastAPI variant (optional dependency)."""
+    from fastapi import FastAPI, File, Form, HTTPException, UploadFile
+    from fastapi.middleware.cors import CORSMiddleware
+    from fastapi.responses import HTMLResponse
+
+    st = ServeState(weights_dir=weights_dir)
+    app = FastAPI(title="Unified GAN API (Denoise / cGAN / SRGAN / ESRGAN)")
+    app.add_middleware(CORSMiddleware, allow_origins=["*"],
+                       allow_credentials=True, allow_methods=["*"],
+                       allow_headers=["*"])
+
+    @app.get("/")
+    async def root():
+        return st.info()
+
+    @app.get("/ui", response_class=HTMLResponse)
+    async def ui():
+        return _ui_html()
+
+    @app.post("/enhance")
+    async def enhance(model: str, file: UploadFile = File(...),
+                      cgan_backend: str = "auto",
+                      label: Optional[int] = Form(default=None),
+                      cond_file: Optional[UploadFile] = File(default=None)):
+        try:
+            return st.enhance(
+                model=model,
+                file_bytes=await file.read(),
+                content_type=file.content_type or "",
+                cgan_backend=cgan_backend,
+                label=label,
+                cond_bytes=await cond_file.read() if cond_file else None,
+            )
+        except EnhanceError as e:
+            raise HTTPException(status_code=e.status, detail=e.detail)
+
+    return app

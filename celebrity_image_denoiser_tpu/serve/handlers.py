@@ -1,0 +1,262 @@
+"""Serving logic — the exact ``POST /enhance`` contract of the reference
+(backend/app.py:358-503), TPU-native underneath.
+
+Contract preserved:
+* models: denoise | cgan | srgan | esrgan (unknown → 400 listing choices)
+* content-type must be image/* (400), uploads capped at 50 MB (400)
+* per-model config (normalize/activation/pad_divisor/scale) = MODEL_CFG
+* cgan: keras-arch backend by default when its weights loaded
+  (cgan_backend=auto|keras|torch; label / cond_file handling incl. the
+  single-input Keras model ignoring the condition, app.py:447-458)
+* esrgan: no normalization, raw [0,1] forward, output clamped
+* response: {denoised_image_base64, noise_graph_base64, backend}
+* weight loading: tolerant, warn-and-continue to random init (app.py:327-336)
+
+TPU-native underneath: jitted per-model forwards with compiled-shape reuse,
+device-side pre/post-processing, optional tiled inference for very large
+inputs (parallel.tiling) instead of OOMing like the reference.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from celebrity_image_denoiser_tpu import models as M
+from celebrity_image_denoiser_tpu.core.config import MODEL_CFG, get_padding
+from celebrity_image_denoiser_tpu.core import prng
+from celebrity_image_denoiser_tpu.data import imageio
+from celebrity_image_denoiser_tpu.utils.logging import get_logger
+from celebrity_image_denoiser_tpu.viz.analysis import make_graphs
+
+logger = get_logger("cid_tpu.serve")
+
+MAX_UPLOAD = 50 * 1024 * 1024  # app.py:374-375
+
+# default checkpoint filenames, matching the reference weights dir layout
+# (app.py:221-225); both .pth and our native npz checkpoints are accepted
+_CKPT_CANDIDATES = {
+    "denoise": ("denoise_epoch_499.pth", "denoise"),
+    "cgan": ("cgan_epoch_500_converted.pth", "cgan"),
+    "srgan": ("srgan_epoch_499.pth", "srgan"),
+    "esrgan": ("esrgan_epoch_500.pth", "esrgan"),
+}
+_CGAN_KERAS = "cgan_epoch_500.keras"
+
+
+class EnhanceError(Exception):
+    def __init__(self, status: int, detail: str):
+        super().__init__(detail)
+        self.status = status
+        self.detail = detail
+
+
+class ServeState:
+    """Loaded models + jitted forwards.  Big inputs route through exact
+    single-device tiling automatically (tile_rows threshold)."""
+
+    def __init__(self, weights_dir: str = "weights", seed: int = 0,
+                 tile_threshold_rows: int = 2048, use_tiling: bool = True):
+        self.weights_dir = weights_dir
+        self.tile_threshold_rows = tile_threshold_rows
+        self.use_tiling = use_tiling
+        self.models: Dict[str, object] = {
+            "denoise": M.DenoiseGenerator(),
+            "cgan": M.CGANTorchGenerator(),
+            "srgan": M.SRGANGenerator(scale_factor=MODEL_CFG["srgan"]["scale"]),
+            "esrgan": M.ESRGANGenerator(num_residuals=8),
+        }
+        self.params: Dict[str, tuple] = {}
+        key = prng.key(seed)
+        for i, (name, model) in enumerate(self.models.items()):
+            p, s = model.init(jax.random.fold_in(key, i))
+            self.params[name] = (p, s)
+        self.keras_cgan = None  # (model, params, state)
+        self._fns: Dict[str, callable] = {}
+        self._load_weights()
+
+    # -- weight loading (warn-and-continue, app.py:327-345) -----------------
+    def _load_weights(self):
+        for name, (fname, _) in _CKPT_CANDIDATES.items():
+            path = os.path.join(self.weights_dir, fname)
+            npz_dir = os.path.join(self.weights_dir, name)
+            try:
+                p, s = self.params[name]
+                if os.path.exists(path):
+                    from celebrity_image_denoiser_tpu.ckpt import load_pth_safely
+
+                    self.params[name] = load_pth_safely(self.models[name], path, p, s)
+                elif os.path.isdir(npz_dir):
+                    from celebrity_image_denoiser_tpu.ckpt import load_checkpoint
+
+                    sections, _ = load_checkpoint(npz_dir)
+                    self.params[name] = (sections.get("generator", p),
+                                         sections.get("generator_state", s) or s)
+                else:
+                    raise FileNotFoundError(path)
+            except Exception as e:
+                logger.warning(
+                    "[%s] checkpoint not loaded (%s). Using random init for "
+                    "that backend.", name, e)
+        keras_path = os.path.join(self.weights_dir, _CGAN_KERAS)
+        try:
+            model = M.CGANKerasGenerator()
+            p, s = model.init(prng.key(7))
+            from celebrity_image_denoiser_tpu.ckpt import load_keras_model
+
+            p, s = load_keras_model(model, keras_path, p, s)
+            self.keras_cgan = (model, p, s)
+            logger.info("Loaded Keras cGAN from %s", keras_path)
+        except Exception as e:
+            logger.warning("Keras cGAN not loaded (%s).", e)
+
+    # -- jitted forwards -----------------------------------------------------
+    def _forward(self, which: str, model, params, state, x: jnp.ndarray):
+        if which not in self._fns:
+            def fn(params, state, x):
+                y, _ = model.apply(params, state, x, train=False)
+                return y
+            self._fns[which] = jax.jit(fn)
+        if self.use_tiling and x.shape[1] > self.tile_threshold_rows:
+            from celebrity_image_denoiser_tpu.parallel.tiling import (
+                tiled_apply_single_device,
+            )
+            scale = MODEL_CFG.get(which.split(":")[0], {}).get("scale", 1)
+            tiled = tiled_apply_single_device(
+                model, params, state,
+                tile_h=self.tile_threshold_rows, halo=32, scale=scale)
+            return tiled(x)
+        return self._fns[which](params, state, x)
+
+    # -- info route (GET /, app.py:348-356) ----------------------------------
+    def info(self) -> dict:
+        backends = {
+            "denoise": "torch",
+            "cgan": ("keras" if self.keras_cgan is not None else "torch")
+                    + " (configurable)",
+            "srgan": "torch",
+            "esrgan": "torch",
+        }
+        return {
+            "message": "Unified GAN API is running",
+            "models": list(self.models.keys()),
+            "default_backends": backends,
+        }
+
+    # -- the enhance endpoint --------------------------------------------------
+    def enhance(
+        self,
+        model: str,
+        file_bytes: bytes,
+        content_type: str = "image/png",
+        cgan_backend: str = "auto",
+        label: Optional[int] = None,
+        cond_bytes: Optional[bytes] = None,
+    ) -> dict:
+        from PIL import Image
+
+        model = model.lower()
+        if model not in self.models:
+            raise EnhanceError(
+                400, f"Unknown model '{model}'. Choose one of "
+                     f"{list(self.models.keys())}")
+        if not (content_type or "").startswith("image/"):
+            raise EnhanceError(400, "Uploaded file must be an image")
+        if len(file_bytes) > MAX_UPLOAD:
+            raise EnhanceError(400, "File too large")
+
+        try:
+            image = imageio.imread_rgb(file_bytes)
+        except Exception:
+            raise EnhanceError(500, "Image enhancement failed")
+
+        try:
+            h, w = image.shape[:2]
+            original_size = (w, h)
+            cfg = MODEL_CFG[model]
+            scale = cfg.get("scale", 1)
+            padding = get_padding(original_size, cfg["pad_divisor"], scale)
+            use_keras = False
+
+            if model == "esrgan":
+                # raw [0,1], unpadded forward (app.py:387-397)
+                x01 = imageio.to_float01(image)[None]
+                y = self._forward("esrgan", self.models["esrgan"],
+                                  *self.params["esrgan"], jnp.asarray(x01))
+                y01 = np.clip(np.asarray(y)[0], 0.0, 1.0)
+                x_vis, y_vis = imageio.to_float01(image), y01
+            else:
+                mean, std = cfg["normalize"]
+                padded = np.pad(image, ((padding[1], padding[3]),
+                                        (padding[0], padding[2]), (0, 0)))
+                x01 = imageio.to_float01(padded)
+                xin = imageio.normalize(x01, mean[0], std[0])[None]
+
+                use_keras = model == "cgan" and (
+                    cgan_backend == "keras"
+                    or (cgan_backend == "auto" and self.keras_cgan is not None))
+                if model == "cgan" and not use_keras and cond_bytes is None \
+                        and label is None:
+                    raise EnhanceError(
+                        400, "cGAN requires either a label or condition image")
+
+                if use_keras:
+                    km, kp, ks = self.keras_cgan
+                    # shipped Keras model is single-input: condition ignored
+                    # (app.py:457-458 falls through to predict(x))
+                    y = self._forward("cgan:keras", km, kp, ks, jnp.asarray(xin))
+                    y01 = np.clip(np.asarray(y)[0] * 0.5 + 0.5, 0, 1)
+                elif model == "cgan":
+                    gen = self.models["cgan"]
+                    p, s = self.params["cgan"]
+                    if cond_bytes is not None:
+                        # image-condition path: reproduces the reference's
+                        # channel-mismatch failure (app.py:139-143) → 500
+                        raise EnhanceError(500, "Image enhancement failed")
+                    z = jax.random.normal(prng.key(0), (1, 100))
+                    cond = jnp.asarray([int(label)])
+                    y, _ = gen.apply(p, s, z, cond, train=False)
+                    y01 = np.clip(np.asarray(y)[0] * 0.5 + 0.5, 0, 1)
+                else:
+                    y = self._forward(model, self.models[model],
+                                      *self.params[model], jnp.asarray(xin))
+                    y01 = np.asarray(y)[0]
+                    if cfg["activation"] == "tanh":
+                        y01 = np.clip(y01 * 0.5 + 0.5, 0, 1)
+                    else:
+                        y01 = np.clip(y01, 0, 1)
+                x_vis = x01  # denormed view (app.py:434)
+                y_vis = y01
+
+            x_pil = Image.fromarray((np.clip(x_vis, 0, 1) * 255).astype(np.uint8))
+            y_pil = Image.fromarray((np.clip(y_vis, 0, 1) * 255).astype(np.uint8))
+
+            if model in ("denoise", "cgan", "esrgan"):
+                box = (padding[0], padding[1],
+                       padding[0] + original_size[0], padding[1] + original_size[1])
+                x_pil = x_pil.crop(box)
+                y_pil = y_pil.crop(box)
+            else:  # srgan: compare against bicubic-upscaled input (app.py:482-485)
+                box = (padding[0], padding[1],
+                       padding[0] + original_size[0], padding[1] + original_size[1])
+                x_pil = x_pil.crop(box).resize(y_pil.size, Image.BICUBIC)
+
+            x_graph = np.asarray(x_pil, np.float32) / 255.0
+            y_graph = np.asarray(y_pil, np.float32) / 255.0
+            graph_b64 = make_graphs(x_graph, y_graph)
+            out_b64 = imageio.encode_png_base64(np.asarray(y_pil))
+            return {
+                "denoised_image_base64": out_b64,
+                "noise_graph_base64": graph_b64,
+                "backend": "keras" if use_keras else "torch",
+            }
+        except EnhanceError:
+            raise
+        except Exception as e:
+            logger.error("Enhancement failed: %s", e, exc_info=True)
+            raise EnhanceError(500, "Image enhancement failed")

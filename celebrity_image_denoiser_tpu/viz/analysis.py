@@ -1,0 +1,48 @@
+"""Per-request analysis graphs.
+
+Port of ``make_graphs`` (reference app.py:302-313): a 3-panel matplotlib
+figure — noise map (input − output, shifted to [0,1]), absolute error map at
+2× gain, and a 50-bin histogram of the differences — returned as a base64
+PNG with the same layout/titles so the frontend renders identically.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+
+import numpy as np
+
+
+def fig_to_base64(fig) -> str:
+    import matplotlib.pyplot as plt
+
+    buf = io.BytesIO()
+    plt.tight_layout()
+    fig.savefig(buf, format="PNG")
+    plt.close(fig)
+    buf.seek(0)
+    return base64.b64encode(buf.read()).decode("utf-8")
+
+
+def make_graphs(input_vis: np.ndarray, output_vis: np.ndarray) -> str:
+    """input_vis/output_vis: float HWC in [0,1] (the cropped view tensors)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    noise = np.asarray(input_vis, np.float32) - np.asarray(output_vis, np.float32)
+    abs_error = np.abs(noise)
+    fig, axs = plt.subplots(1, 3, figsize=(15, 5))
+    axs[0].imshow(np.clip(noise * 0.5 + 0.5, 0, 1))
+    axs[0].set_title("Noise Map (Input - Output)")
+    axs[0].axis("off")
+    axs[1].imshow(np.clip(abs_error * 2.0, 0, 1))
+    axs[1].set_title("Absolute Error Map")
+    axs[1].axis("off")
+    axs[2].hist(noise.flatten(), bins=50)
+    axs[2].set_title("Histogram of Noise Values")
+    axs[2].set_xlabel("Difference")
+    axs[2].set_ylabel("Frequency")
+    return fig_to_base64(fig)

@@ -1,0 +1,152 @@
+"""API-level integration tests: spin the stdlib server on a loopback port
+and exercise the reference response contract end-to-end (SURVEY.md §4d)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from celebrity_image_denoiser_tpu.serve.app import make_server
+
+
+def _png_bytes(w=20, h=12):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _multipart(fields):
+    boundary = "testboundary123"
+    lines = []
+    for name, (filename, ctype, data) in fields.items():
+        lines.append(f"--{boundary}".encode())
+        disp = f'Content-Disposition: form-data; name="{name}"'
+        if filename:
+            disp += f'; filename="{filename}"'
+        lines.append(disp.encode())
+        if ctype:
+            lines.append(f"Content-Type: {ctype}".encode())
+        lines.append(b"")
+        lines.append(data)
+    lines.append(f"--{boundary}--".encode())
+    body = b"\r\n".join(lines)
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = make_server("127.0.0.1", 0, weights_dir="/nonexistent-weights")
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _post(url, body, ctype):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_root_contract(server):
+    with urllib.request.urlopen(server + "/") as r:
+        data = json.loads(r.read())
+    assert data["message"] == "Unified GAN API is running"
+    assert data["models"] == ["denoise", "cgan", "srgan", "esrgan"]
+    assert "default_backends" in data
+
+
+@pytest.mark.parametrize("model", ["denoise", "esrgan"])
+def test_enhance_response_contract(server, model):
+    body, ctype = _multipart({"file": ("a.png", "image/png", _png_bytes())})
+    status, data = _post(f"{server}/enhance?model={model}", body, ctype)
+    assert status == 200, data
+    assert set(data) == {"denoised_image_base64", "noise_graph_base64", "backend"}
+    assert data["backend"] == "torch"
+    # output decodes to a PNG of the original (cropped-back) size
+    from PIL import Image
+
+    out = Image.open(io.BytesIO(base64.b64decode(data["denoised_image_base64"])))
+    assert out.size == (20, 12)
+    graph = Image.open(io.BytesIO(base64.b64decode(data["noise_graph_base64"])))
+    assert graph.size[0] > 100  # a real matplotlib figure
+
+
+def test_srgan_upscales(server):
+    body, ctype = _multipart({"file": ("a.png", "image/png", _png_bytes(16, 8))})
+    status, data = _post(f"{server}/enhance?model=srgan", body, ctype)
+    assert status == 200, data
+    from PIL import Image
+
+    out = Image.open(io.BytesIO(base64.b64decode(data["denoised_image_base64"])))
+    # reference quirk preserved: srgan output is NOT cropped back — the
+    # padded input (16x8 → 16x16 at pad_divisor*scale=16) upscales ×4
+    # (app.py:481-485 crops only the comparison input)
+    assert out.size == (64, 64)
+
+
+def test_cgan_label_path(server):
+    body, ctype = _multipart({
+        "file": ("a.png", "image/png", _png_bytes()),
+        "label": (None, None, b"5"),
+    })
+    status, data = _post(f"{server}/enhance?model=cgan", body, ctype)
+    assert status == 200, data
+    assert data["backend"] == "torch"  # no keras weights in this fixture
+
+
+def test_cgan_requires_condition(server):
+    body, ctype = _multipart({"file": ("a.png", "image/png", _png_bytes())})
+    status, data = _post(f"{server}/enhance?model=cgan", body, ctype)
+    assert status == 400
+    assert "label or condition" in data["detail"]
+
+
+def test_unknown_model_400(server):
+    body, ctype = _multipart({"file": ("a.png", "image/png", _png_bytes())})
+    status, data = _post(f"{server}/enhance?model=nope", body, ctype)
+    assert status == 400
+    assert "Unknown model" in data["detail"]
+
+
+def test_non_image_rejected(server):
+    body, ctype = _multipart({"file": ("a.txt", "text/plain", b"hello")})
+    status, data = _post(f"{server}/enhance?model=denoise", body, ctype)
+    assert status == 400
+    assert "must be an image" in data["detail"]
+
+
+def test_corrupt_image_500(server):
+    body, ctype = _multipart({"file": ("a.png", "image/png", b"not a png")})
+    status, data = _post(f"{server}/enhance?model=denoise", body, ctype)
+    assert status == 500
+    assert data["detail"] == "Image enhancement failed"
+
+
+def test_ui_served(server):
+    with urllib.request.urlopen(server + "/ui") as r:
+        html = r.read().decode()
+    assert "Run Full Pipeline" in html and "/enhance" in html
+
+
+def test_odd_size_pads_and_crops_back(server):
+    body, ctype = _multipart({"file": ("a.png", "image/png", _png_bytes(37, 23))})
+    status, data = _post(f"{server}/enhance?model=denoise", body, ctype)
+    assert status == 200
+    from PIL import Image
+
+    out = Image.open(io.BytesIO(base64.b64decode(data["denoised_image_base64"])))
+    assert out.size == (37, 23)
