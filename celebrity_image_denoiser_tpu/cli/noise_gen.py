@@ -35,6 +35,10 @@ def build_parser():
     p.add_argument("--types", nargs="+", default=list(noise.NOISE_TYPES))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--lr-size", type=int, nargs=2, default=None,
+                   help="SRGAN mode (sr_ganNoise.py:45-104): write noisy "
+                        "images downscaled to this LR size and clean HR "
+                        "copies at --image-size into <out-dir>/clean_hr")
     return p
 
 
@@ -51,6 +55,9 @@ def main(argv=None) -> int:
         t: jax.jit(lambda k, b, t=t: noise.add_noise(k, b, t, args.variant))
         for t in args.types
     }
+    import jax.image as jimage
+
+    lr = args.lr_size
     for start in range(0, len(paths), args.batch):
         chunk = paths[start : start + args.batch]
         imgs, keep = [], []
@@ -65,9 +72,22 @@ def main(argv=None) -> int:
         batch = np.stack(imgs)
         for t in args.types:
             noisy = np.asarray(noise_fns[t](next(keys), batch))
+            if lr is not None:
+                # SRGAN layout: noisy side is downscaled to LR on device
+                noisy = np.asarray(jax.jit(
+                    lambda x: jimage.resize(
+                        x, (x.shape[0], lr[0], lr[1], x.shape[3]), "bicubic")
+                )(noisy))
             for img, src in zip(noisy, keep):
                 rel = os.path.relpath(src, args.clean_dir)
                 dst = os.path.join(args.out_dir, t, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                imageio.imwrite(dst, np.clip(img * 255, 0, 255).astype(np.uint8))
+        if lr is not None:
+            # clean HR copies alongside (sr_ganNoise writes an HR clean dir)
+            for img, src in zip(batch, keep):
+                rel = os.path.relpath(src, args.clean_dir)
+                dst = os.path.join(args.out_dir, "clean_hr", rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 imageio.imwrite(dst, np.clip(img * 255, 0, 255).astype(np.uint8))
         logger.info("processed %d/%d", min(start + args.batch, len(paths)),

@@ -1,0 +1,127 @@
+"""Tensorized dataset caches.
+
+Reproduces the reference's two offline caching pipelines without their
+framework lock-in:
+
+* ESRGAN .pt pairs (esrgan_preprocessing.py:12-54 saves each (noisy, clean)
+  tensor pair; esrgan_train.py:18-36 walks them sorted): here
+  ``build_tensor_cache`` writes one ``.npz`` per pair under
+  ``<cache>/<noise>/pairs/``, and ``TensorPairDataset`` loads them sorted —
+  same contract, numpy format, no torch.
+* cGAN tf.data cache (DataP2.py:26-108: pair images, report unmatched,
+  shuffle, ``tf.data.Dataset.save``): ``pair_with_report`` reproduces the
+  pairing + unmatched-files report; ``build_tensor_cache`` is the cache
+  writer (the reference's deletion of corrupt files, sr_ganpreprocess.py:
+  34-41, is intentionally NOT reproduced — corrupt files are skipped and
+  reported, never unlinked).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from celebrity_image_denoiser_tpu.data import imageio
+from celebrity_image_denoiser_tpu.utils.logging import get_logger
+
+logger = get_logger("cid_tpu.data.caching")
+
+
+def pair_with_report(
+    noisy_dir: str, clean_dir: str
+) -> Tuple[List[Tuple[str, str]], Dict[str, List[str]]]:
+    """Pair files by relative path; report unmatched on both sides
+    (DataP2.py:26-90's matched/unmatched accounting)."""
+    noisy = {os.path.relpath(p, noisy_dir): p for p in imageio.list_images(noisy_dir)}
+    clean = {os.path.relpath(p, clean_dir): p for p in imageio.list_images(clean_dir)}
+    matched = sorted(set(noisy) & set(clean))
+    report = {
+        "unmatched_noisy": sorted(set(noisy) - set(clean)),
+        "unmatched_clean": sorted(set(clean) - set(noisy)),
+    }
+    if report["unmatched_noisy"] or report["unmatched_clean"]:
+        logger.warning(
+            "pairing report: %d unmatched noisy, %d unmatched clean",
+            len(report["unmatched_noisy"]), len(report["unmatched_clean"]))
+    return [(noisy[k], clean[k]) for k in matched], report
+
+
+def build_tensor_cache(
+    noisy_dir: str,
+    clean_dir: str,
+    cache_dir: str,
+    image_size: Tuple[int, int] = (256, 256),
+    normalize: bool = False,
+) -> int:
+    """Decode, resize, tensorize each pair to ``<cache>/pairs/NNNNNN.npz``
+    with float32 arrays (``noisy``/``clean`` keys), [0,1] domain (the
+    ESRGAN convention) or [-1,1] when ``normalize``.  Returns pair count."""
+    pairs, _ = pair_with_report(noisy_dir, clean_dir)
+    out_dir = os.path.join(cache_dir, "pairs")
+    os.makedirs(out_dir, exist_ok=True)
+    size = (image_size[1], image_size[0])
+    count = 0
+    for noisy_path, clean_path in pairs:
+        try:
+            n = imageio.to_float01(imageio.imread_rgb(noisy_path, size))
+            c = imageio.to_float01(imageio.imread_rgb(clean_path, size))
+        except Exception as e:  # skip-and-report; never delete sources
+            logger.warning("skipping pair %s: %s", noisy_path, e)
+            continue
+        if normalize:
+            n, c = n * 2 - 1, c * 2 - 1
+        np.savez(os.path.join(out_dir, f"{count:06d}.npz"), noisy=n, clean=c)
+        count += 1
+    logger.info("cached %d tensor pairs under %s", count, out_dir)
+    return count
+
+
+class TensorPairDataset:
+    """Loads cached pairs in sorted order (TensorPairDataset contract,
+    esrgan_train.py:18-36)."""
+
+    def __init__(self, cache_dir: str):
+        pair_dir = os.path.join(cache_dir, "pairs")
+        self.files = sorted(
+            os.path.join(pair_dir, f)
+            for f in os.listdir(pair_dir)
+            if f.endswith(".npz")
+        )
+        if not self.files:
+            raise ValueError(f"no cached pairs under {pair_dir}")
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int):
+        try:
+            with np.load(self.files[idx]) as z:
+                return z["noisy"], z["clean"]
+        except Exception as e:
+            logger.warning("bad cache entry %s: %s", self.files[idx], e)
+            return None
+
+
+def train_val_test_split(
+    items: Sequence, val: float = 0.1, test: float = 0.1, seed: int = 42
+):
+    """Three-way split (80/10/10 default) matching the cGAN trainer's
+    two-stage sklearn split (training5Pbar.py:132-162): first carve out
+    ``test``, then ``val`` from the remainder."""
+    items = list(items)
+    try:
+        from sklearn.model_selection import train_test_split as tts
+
+        rest, test_set = tts(items, test_size=test, random_state=seed)
+        train_set, val_set = tts(rest, test_size=val / (1 - test), random_state=seed)
+    except ImportError:
+        rng = np.random.default_rng(seed)
+        idx = rng.permutation(len(items))
+        n_test = int(round(len(items) * test))
+        n_val = int(round(len(items) * val))
+        test_set = [items[i] for i in idx[:n_test]]
+        val_set = [items[i] for i in idx[n_test : n_test + n_val]]
+        train_set = [items[i] for i in idx[n_test + n_val :]]
+    return train_set, val_set, test_set

@@ -84,10 +84,16 @@ class PairedImageDataset:
         clean_dir: str,
         noise_types: Sequence[str] = ("gaussian", "salt_pepper", "speckle", "poisson", "uniform"),
         image_size: Optional[Tuple[int, int]] = None,
+        noisy_size: Optional[Tuple[int, int]] = None,
+        clean_size: Optional[Tuple[int, int]] = None,
         test_split: float = 0.2,
         split_seed: int = 42,
         normalize: bool = True,
     ):
+        """``image_size`` resizes both sides; for the SRGAN LR/HR layout
+        (noisy 64², clean 256² — SRGANDataset, sr_ganTrainGNew.py:96-154,
+        where sizes are baked in by preprocessing) pass distinct
+        ``noisy_size``/``clean_size`` or None to load files as-is."""
         pairs = collect_pairs(noisy_base_dir, clean_dir, noise_types)
         self.image_pairs, self.test_image_pairs = train_test_split_pairs(
             pairs, test_split, split_seed
@@ -96,14 +102,15 @@ class PairedImageDataset:
             "Loaded %d training image pairs and %d test image pairs.",
             len(self.image_pairs), len(self.test_image_pairs),
         )
-        self.image_size = image_size
+        self.noisy_size = noisy_size or image_size
+        self.clean_size = clean_size or image_size
         self.normalize = normalize
 
     def __len__(self):
         return len(self.image_pairs)
 
-    def _load(self, path: str) -> np.ndarray:
-        size = None if self.image_size is None else (self.image_size[1], self.image_size[0])
+    def _load(self, path: str, hw: Optional[Tuple[int, int]]) -> np.ndarray:
+        size = None if hw is None else (hw[1], hw[0])
         arr = imageio.to_float01(imageio.imread_rgb(path, size))
         if self.normalize:
             arr = imageio.normalize(arr)
@@ -112,7 +119,8 @@ class PairedImageDataset:
     def __getitem__(self, idx: int):
         noisy_path, clean_path = self.image_pairs[idx]
         try:
-            return self._load(noisy_path), self._load(clean_path)
+            return (self._load(noisy_path, self.noisy_size),
+                    self._load(clean_path, self.clean_size))
         except Exception as e:  # warn-and-skip contract
             logger.warning("Error loading images: %s, %s. Error: %s",
                            noisy_path, clean_path, e)
@@ -120,7 +128,8 @@ class PairedImageDataset:
 
     def get_test(self, idx: int):
         noisy_path, clean_path = self.test_image_pairs[idx]
-        return self._load(noisy_path), self._load(clean_path)
+        return (self._load(noisy_path, self.noisy_size),
+                self._load(clean_path, self.clean_size))
 
 
 class CleanImageDataset:

@@ -329,6 +329,27 @@ class GANTrainer:
         y, _ = self.generator.apply(g_params, g_state, jnp.asarray(noisy), train=False)
         return np.asarray(y)
 
+    def test_random_images(self, epoch: int):
+        """Per-epoch visual spot-check: run the held-out test pair through
+        the generator and save a labeled noisy/denoised side-by-side JPEG —
+        the ``test_random_images`` contract (training.py:322-357)."""
+        if self.test_pair is None:
+            logger.info("No test image selected for testing.")
+            return None
+        from celebrity_image_denoiser_tpu.viz.side_by_side import combine_test_images
+
+        noisy, _ = self.test_pair
+        noisy_b = noisy[None] if noisy.ndim == 3 else noisy
+        fake = self.generate(noisy_b)[0]
+        denoised_u8 = np.clip((fake * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
+        noisy_u8 = np.clip(((noisy_b[0]) * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
+        combined = combine_test_images(noisy_u8, denoised_u8)
+        os.makedirs(self.cfg.test_image_dir, exist_ok=True)
+        out_path = os.path.join(self.cfg.test_image_dir, f"testimg_epoch{epoch}.jpg")
+        combined.save(out_path)
+        logger.info("Saved test image: %s", out_path)
+        return out_path
+
     def _epoch_extras(self) -> Tuple[float, float]:
         """Per-epoch LPIPS-style + MS-SSIM on the held-out test pair
         (reference computes them per batch; we sample per epoch)."""
@@ -389,6 +410,8 @@ class GANTrainer:
                 avgs["psnr"], avgs["ssim"],
                 n_batches * cfg.batch_size / max(dt, 1e-9),
             )
+            if self.test_pair is not None:
+                self.test_random_images(epoch)
             is_best = avgs["psnr"] > self.best_psnr
             if is_best:
                 self.best_psnr = avgs["psnr"]

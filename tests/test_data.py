@@ -1,0 +1,129 @@
+"""Data subsystem tests over a synthetic Clean_dataset/<person>/<img> tree:
+pairing walk, splits, pipeline, tensor cache, noise_gen CLI (incl. SRGAN
+LR/HR mode), pairing report."""
+
+import os
+
+import numpy as np
+import pytest
+
+from celebrity_image_denoiser_tpu.data import caching, datasets, imageio
+from celebrity_image_denoiser_tpu.data.pipeline import DataPipeline
+
+
+@pytest.fixture()
+def clean_tree(tmp_path, rng_np):
+    root = tmp_path / "Clean_dataset"
+    for person in ("alice", "bob"):
+        d = root / person
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = rng_np.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+            imageio.imwrite(str(d / f"img{i}.png"), arr)
+    return str(root)
+
+
+def test_noise_gen_cli_renders_tree(clean_tree, tmp_path):
+    from celebrity_image_denoiser_tpu.cli.noise_gen import main
+
+    out = str(tmp_path / "Dataset_Noise")
+    rc = main(["--clean-dir", clean_tree, "--out-dir", out,
+               "--image-size", "32", "32", "--types", "gaussian", "salt_pepper",
+               "--batch", "4"])
+    assert rc == 0
+    for t in ("gaussian", "salt_pepper"):
+        files = imageio.list_images(os.path.join(out, t))
+        assert len(files) == 6
+        arr = imageio.imread_rgb(files[0])
+        assert arr.shape == (32, 32, 3)
+
+
+def test_paired_dataset_and_pipeline(clean_tree, tmp_path):
+    from celebrity_image_denoiser_tpu.cli.noise_gen import main
+
+    out = str(tmp_path / "Dataset_Noise")
+    main(["--clean-dir", clean_tree, "--out-dir", out,
+          "--image-size", "40", "40", "--types", "gaussian", "--batch", "8"])
+    ds = datasets.PairedImageDataset(
+        out, clean_tree, ["gaussian"], image_size=(32, 32), test_split=0.2)
+    assert len(ds) + len(ds.test_image_pairs) == 6
+    noisy, clean = ds[0]
+    assert noisy.shape == (32, 32, 3) and clean.shape == (32, 32, 3)
+    assert noisy.min() >= -1 and noisy.max() <= 1  # normalized
+
+    pipe = DataPipeline(ds, batch_size=2, shuffle=True, seed=0)
+    batches = list(pipe)
+    assert len(batches) == len(ds) // 2
+    nb, cb = batches[0]
+    assert nb.shape == (2, 32, 32, 3)
+
+
+def test_srgan_lr_hr_mode(clean_tree, tmp_path):
+    from celebrity_image_denoiser_tpu.cli.noise_gen import main
+
+    out = str(tmp_path / "SR_Noise")
+    main(["--clean-dir", clean_tree, "--out-dir", out,
+          "--image-size", "32", "32", "--lr-size", "16", "16",
+          "--types", "gaussian", "--batch", "8"])
+    lr_files = imageio.list_images(os.path.join(out, "gaussian"))
+    hr_files = imageio.list_images(os.path.join(out, "clean_hr"))
+    assert len(lr_files) == 6 and len(hr_files) == 6
+    assert imageio.imread_rgb(lr_files[0]).shape == (16, 16, 3)
+    assert imageio.imread_rgb(hr_files[0]).shape == (32, 32, 3)
+
+    # LR/HR dataset: distinct per-side sizes preserved at load
+    ds = datasets.PairedImageDataset(out, os.path.join(out, "clean_hr"),
+                                     ["gaussian"], test_split=0.2)
+    noisy, clean = ds[0]
+    assert noisy.shape == (16, 16, 3) and clean.shape == (32, 32, 3)
+
+
+def test_pair_with_report(clean_tree, tmp_path, rng_np):
+    noisy_dir = tmp_path / "noisy"
+    (noisy_dir / "alice").mkdir(parents=True)
+    # only 2 of alice's 3 images have noisy counterparts + 1 orphan
+    for name in ("img0.png", "img1.png", "orphan.png"):
+        imageio.imwrite(str(noisy_dir / "alice" / name),
+                        rng_np.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    pairs, report = caching.pair_with_report(str(noisy_dir), clean_tree)
+    assert len(pairs) == 2
+    assert report["unmatched_noisy"] == [os.path.join("alice", "orphan.png")]
+    assert len(report["unmatched_clean"]) == 4  # alice/img2 + bob's 3
+
+
+def test_tensor_cache_roundtrip(clean_tree, tmp_path):
+    from celebrity_image_denoiser_tpu.cli.noise_gen import main
+
+    noisy = str(tmp_path / "noisy")
+    main(["--clean-dir", clean_tree, "--out-dir", noisy,
+          "--image-size", "40", "40", "--types", "gaussian", "--batch", "8"])
+    cache = str(tmp_path / "cache")
+    n = caching.build_tensor_cache(os.path.join(noisy, "gaussian"), clean_tree,
+                                   cache, image_size=(24, 24))
+    assert n == 6
+    ds = caching.TensorPairDataset(cache)
+    assert len(ds) == 6
+    a, b = ds[0]
+    assert a.shape == (24, 24, 3) and a.dtype == np.float32
+    assert 0.0 <= a.min() and a.max() <= 1.0  # esrgan [0,1] convention
+
+
+def test_train_val_test_split_fractions():
+    items = list(range(100))
+    tr, va, te = caching.train_val_test_split(items, val=0.1, test=0.1, seed=42)
+    assert len(te) == 10 and len(va) == 10 and len(tr) == 80
+    assert sorted(tr + va + te) == items
+    # deterministic
+    tr2, va2, te2 = caching.train_val_test_split(items, val=0.1, test=0.1, seed=42)
+    assert tr == tr2 and va == va2 and te == te2
+
+
+def test_sklearn_split_parity():
+    """Our default split must equal sklearn's with random_state=42 (the
+    reference's exact split, training.py:144)."""
+    sklearn = pytest.importorskip("sklearn.model_selection")
+    items = [f"p{i}" for i in range(50)]
+    ours_train, ours_test = datasets.train_test_split_pairs(items, 0.2, 42)
+    ref_train, ref_test = sklearn.train_test_split(items, test_size=0.2,
+                                                   random_state=42)
+    assert ours_train == ref_train and ours_test == ref_test
