@@ -76,14 +76,16 @@ def main(argv=None) -> int:
             logger.warning("skipping %s: %s", p, e)
             continue
         x = arr * 2 - 1 if normalize else arr
-        stem, ext = os.path.splitext(os.path.basename(p))
+        rel = os.path.relpath(p, args.input_dir)
+        stem, ext = os.path.splitext(rel)
         out01 = None
         for it in range(args.iterations):
             y = np.asarray(fwd(jnp.asarray(x[None])))[0]
             out01 = np.clip(y * 0.5 + 0.5, 0, 1) if normalize else np.clip(y, 0, 1)
             suffix = f"_iter{it + 1}" if args.iterations > 1 else ""
-            imageio.imwrite(os.path.join(args.output_dir, f"{stem}{suffix}{ext or '.png'}"),
-                            (out01 * 255).astype(np.uint8))
+            dst = os.path.join(args.output_dir, f"{stem}{suffix}{ext or '.png'}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            imageio.imwrite(dst, (out01 * 255).astype(np.uint8))
             x = out01 * 2 - 1 if normalize else out01
         if args.clean_dir:
             cpath = os.path.join(args.clean_dir, os.path.relpath(p, args.input_dir))

@@ -1,0 +1,86 @@
+"""CLI smoke tests: train end-to-end on a tiny synthetic tree, eval batch +
+iterative modes, parser defaults replacing the reference's input() prompts."""
+
+import os
+
+import numpy as np
+import pytest
+
+from celebrity_image_denoiser_tpu.data import imageio
+
+
+@pytest.fixture()
+def clean_tree(tmp_path, rng_np):
+    root = tmp_path / "Clean_dataset"
+    for person in ("a", "b"):
+        d = root / person
+        d.mkdir(parents=True)
+        for i in range(4):
+            imageio.imwrite(str(d / f"img{i}.png"),
+                            rng_np.integers(0, 256, (20, 20, 3), dtype=np.uint8))
+    return str(root)
+
+
+def test_train_cli_end_to_end(clean_tree, tmp_path, monkeypatch):
+    from celebrity_image_denoiser_tpu.cli.train import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "--model", "dncnn", "--clean-dir", clean_tree,
+        "--num-epochs", "2", "--batch-size", "4", "--image-size", "16", "16",
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--graph-dir", str(tmp_path / "graphs"),
+        "--no-data-parallel",
+    ])
+    assert rc == 0
+    # checkpoints at epoch cadence + training plots written
+    assert os.path.isdir(tmp_path / "ck" / "dncnn_epoch_1")
+    assert os.path.exists(tmp_path / "graphs" / "training_results.png")
+
+
+def test_train_cli_resume(clean_tree, tmp_path):
+    from celebrity_image_denoiser_tpu.cli.train import main
+
+    args = [
+        "--model", "dncnn", "--clean-dir", clean_tree,
+        "--num-epochs", "2", "--batch-size", "4", "--image-size", "16", "16",
+        "--checkpoint-dir", str(tmp_path / "ck2"),
+        "--graph-dir", str(tmp_path / "g2"),
+        "--no-data-parallel",
+    ]
+    assert main(args) == 0
+    # resume: start_epoch == num_epochs → trains zero additional epochs
+    assert main(args + ["--resume"]) == 0
+
+
+def test_eval_cli_batch_and_iterative(clean_tree, tmp_path):
+    from celebrity_image_denoiser_tpu.cli.eval import main
+
+    out = str(tmp_path / "out")
+    rc = main(["--model", "dncnn", "--input-dir", clean_tree,
+               "--output-dir", out, "--image-size", "16", "16"])
+    assert rc == 0
+    assert len(imageio.list_images(out)) == 8
+
+    out2 = str(tmp_path / "out_iter")
+    rc = main(["--model", "dncnn", "--input-dir", clean_tree,
+               "--output-dir", out2, "--image-size", "16", "16",
+               "--iterations", "2"])
+    assert rc == 0
+    files = imageio.list_images(out2)
+    assert len(files) == 16  # each input saved at every iteration
+    assert any("_iter1" in f for f in files) and any("_iter2" in f for f in files)
+
+
+def test_parsers_have_no_interactive_prompts():
+    """The reference asks for epoch counts via input() (training.py:503);
+    every CLI here must be fully flag-driven with defaults."""
+    from celebrity_image_denoiser_tpu.cli import eval as eval_cli
+    from celebrity_image_denoiser_tpu.cli import noise_gen, serve, train
+
+    for mod in (train, noise_gen, serve):
+        p = mod.build_parser()
+        assert p.parse_args([]) is not None
+    p = eval_cli.build_parser()
+    args = p.parse_args(["--input-dir", "x", "--output-dir", "y"])
+    assert args.iterations == 1

@@ -41,6 +41,19 @@ def test_conv3x3_bias_relu_matches_xla(rng_np, interpret_pallas):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_conv3x3_v2_matches_xla(rng_np, interpret_pallas):
+    """The crash-safe shifted-inputs formulation (no manual DMA)."""
+    from celebrity_image_denoiser_tpu.ops.pallas import conv_fused
+
+    x = jnp.asarray(rng_np.standard_normal((2, 32, 16, 64)).astype(np.float32))
+    w = jnp.asarray(rng_np.standard_normal((3, 3, 64, 128)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng_np.standard_normal((128,)).astype(np.float32))
+    ref = jnp.maximum(ops.conv2d(x, w, b, stride=1, padding=1), 0)
+    got = conv_fused.conv3x3_bias_relu_v2(x, w, b, relu=True, tile_h=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_conv3x3_no_relu_and_channel_padding(rng_np, interpret_pallas):
     from celebrity_image_denoiser_tpu.ops.pallas import conv_fused
 
