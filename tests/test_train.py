@@ -160,6 +160,24 @@ def test_trainer_loop_and_resume(rng_np, tmp_path):
     assert tr2.metric_history["psnr"] == pytest.approx(hist["psnr"])
 
 
+def test_trainer_epoch_render(rng_np, tmp_path):
+    """test_random_images contract: per-epoch side-by-side JPEG saved."""
+    from celebrity_image_denoiser_tpu.data.pipeline import DataPipeline
+
+    clean = rng_np.uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+    noisy = np.clip(clean + 0.1, -1, 1).astype(np.float32)
+    cfg = TrainConfig(model="denoise", num_epochs=1, batch_size=4,
+                      checkpoint_dir=str(tmp_path / "ck"),
+                      test_image_dir=str(tmp_path / "ti"),
+                      on_the_fly_noise=False)
+    tr = GANTrainer(models.DenoiseGenerator(), models.DenoiseDiscriminator(),
+                    DataPipeline(_ArrayPairDataset(noisy, clean), 4), cfg,
+                    test_pair=(noisy[0], clean[0]))
+    tr.train()
+    import os
+    assert os.path.exists(tmp_path / "ti" / "testimg_epoch0.jpg")
+
+
 def test_on_the_fly_noise_step(rng_np):
     g, d = models.DenoiseGenerator(), models.DenoiseDiscriminator()
     init_fn, step_fn = make_train_step(g, d, family="denoise",
