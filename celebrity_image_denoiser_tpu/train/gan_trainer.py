@@ -68,6 +68,7 @@ def make_train_step(
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: str = "data",
     donate: bool = True,
+    remat: bool = False,
 ):
     """Build (init_fn, step_fn).
 
@@ -83,6 +84,14 @@ def make_train_step(
 
     _, adam_update = optim.adam(adam_b1, adam_b2)
     adam_init, _ = optim.adam(adam_b1, adam_b2)
+
+    # generator forward used inside the step (always train mode there); with
+    # remat the activations are rematerialized in the backward pass — trades
+    # FLOPs for HBM, raising the trainable batch size (jax.checkpoint)
+    def _g_fwd(p, s, x):
+        return generator.apply(p, s, x, train=True)
+
+    g_fwd = jax.checkpoint(_g_fwd) if remat else _g_fwd
 
     use_logits = family == "esrgan"
     d_crit = L.bce_with_logits if use_logits else L.bce
