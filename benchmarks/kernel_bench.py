@@ -4,6 +4,11 @@ Benchmarks each Pallas kernel against its XLA-fallback twin with the fenced
 methodology (chained, scalar-fetch).  The faster implementation is the one
 the framework should route to; results are printed as JSON lines for the
 record.  Run on TPU: python benchmarks/kernel_bench.py
+
+⚠ WARNING (this dev environment): compiled Pallas kernels have twice wedged
+the tunneled v5e worker (recovery ~75 min).  Do not run this alongside
+anything that needs the chip; bench.py and all default compute paths are
+intentionally XLA-only.  See memory note axon-tpu-quirks / kernel_notes.md.
 """
 
 from __future__ import annotations

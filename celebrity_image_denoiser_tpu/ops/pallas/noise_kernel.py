@@ -56,22 +56,36 @@ def fused_normalize_gaussian_noise(
     VMEM (a 256² RGB image is 768 KB as f32 intermediates).
     """
     n, h, w, c = x_uint8.shape
+    # A (…, 3)-channel block would pad its lane dim 3 → 128 in VMEM (42×
+    # waste → scoped-VMEM OOM at 128²).  The op is elementwise, so flatten
+    # each image to (rows, 128) lanes; pad the tail if HWC % 128 != 0.
+    flat = h * w * c
+    rows = -(-flat // 128)
+    pad = rows * 128 - flat
+    xf = x_uint8.reshape(n, flat)
+    if pad:
+        xf = jnp.pad(xf, ((0, 0), (0, pad)))
+    xf = xf.reshape(n, rows, 128)
     seed_arr = jnp.asarray([seed], jnp.int32) if jnp.ndim(seed) == 0 else seed.astype(jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i, s: (i, 0, 0, 0),
+            pl.BlockSpec((1, rows, 128), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i, s: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, rows, 128), lambda i, s: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, sigma01=float(sigma) / 255.0),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, c), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n, rows, 128), out_dtype),
         grid_spec=grid_spec,
-    )(seed_arr, x_uint8)
+    )(seed_arr, xf)
+    out = out.reshape(n, rows * 128)
+    if pad:
+        out = out[:, :flat]
+    return out.reshape(n, h, w, c)
 
 
 def xla_normalize_gaussian_noise(key, x_uint8, sigma=25.0, out_dtype=jnp.bfloat16):
