@@ -411,6 +411,16 @@ class GANTrainer:
                                epoch + 1, cfg.num_epochs)
                 continue
             avgs = {k: v / n_batches for k, v in sums.items()}
+            if not all(np.isfinite(v) for v in avgs.values()):
+                # failure detection: a NaN/Inf epoch means diverged training;
+                # stop before the bad params overwrite good checkpoints (the
+                # last saved checkpoint remains the resume point).  Isolate
+                # the faulting op with utils.profiling.debug_nans.
+                logger.error(
+                    "Epoch [%d/%d] produced non-finite metrics %s — stopping "
+                    "(resume from the last checkpoint).",
+                    epoch + 1, cfg.num_epochs, avgs)
+                break
             lp, ms = self._epoch_extras()
             self.metric_history["g_loss"].append(avgs["g_loss"])
             self.metric_history["d_loss"].append(avgs["d_loss"])
