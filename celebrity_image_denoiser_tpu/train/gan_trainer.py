@@ -131,7 +131,7 @@ def make_train_step(
         if family == "dncnn":
             # plain supervised MSE on the residual denoiser (no D)
             def loss_fn(gp):
-                fake, gs = generator.apply(gp, g_state, noisy, train=True)
+                fake, gs = g_fwd(gp, g_state, noisy)
                 return L.mse(fake, clean), (gs, fake)
 
             (g_loss, (g_state_new, fake)), g_grads = jax.value_and_grad(
@@ -143,7 +143,7 @@ def make_train_step(
                            "psnr": psnr_v, "ssim": ssim_v}
 
         # ---- discriminator loss/grads (fake detached) ----------------------
-        fake0, g_state_fake = generator.apply(g_params, g_state, noisy, train=True)
+        fake0, g_state_fake = g_fwd(g_params, g_state, noisy)
         fake_detached = jax.lax.stop_gradient(fake0)
 
         def d_loss_fn(dp):
@@ -160,7 +160,7 @@ def make_train_step(
         if family == "cgan":
             # joint update: G grads against the PRE-update discriminator
             def g_loss_fn(gp):
-                fake, gs = generator.apply(gp, g_state, noisy, train=True)
+                fake, gs = g_fwd(gp, g_state, noisy)
                 fake_pred, ds = discriminator.apply(d_params, d_state_after_d,
                                                     fake, train=True)
                 gl = d_crit(fake_pred, 1.0) + cgan_mae_weight * content_loss(fake, clean)
@@ -175,7 +175,7 @@ def make_train_step(
             d_params_new, d_opt_new = adam_update(d_grads, d_opt, d_params, lr_d)
 
             def g_loss_fn(gp):
-                fake, gs = generator.apply(gp, g_state, noisy, train=True)
+                fake, gs = g_fwd(gp, g_state, noisy)
                 fake_pred, ds = discriminator.apply(d_params_new, d_state_after_d,
                                                     fake, train=True)
                 gl = content_loss(fake, clean) + adv_weight * d_crit(fake_pred, 1.0)
