@@ -80,6 +80,14 @@ class DataPipeline:
                 samples.append(s)
         if not samples:
             return None
+        if self.drop_last and len(samples) < len(indices):
+            # keep the batch shape static for XLA: top up skipped slots by
+            # repeating loaded samples (a varying batch dim would force a
+            # recompile of the whole train step per unique size)
+            k = 0
+            while len(samples) < len(indices):
+                samples.append(samples[k % len(samples)])
+                k += 1
         if isinstance(samples[0], tuple):
             return tuple(np.stack([s[j] for s in samples]) for j in range(len(samples[0])))
         return np.stack(samples)

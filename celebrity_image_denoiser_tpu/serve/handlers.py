@@ -228,7 +228,10 @@ class ServeState:
                         # image-condition path: reproduces the reference's
                         # channel-mismatch failure (app.py:139-143) → 500
                         raise EnhanceError(500, "Image enhancement failed")
-                    z = jax.random.normal(prng.key(0), (1, 100))
+                    # fresh latent per request, like torch.randn (app.py:428)
+                    z = jax.random.normal(
+                        prng.key(int.from_bytes(os.urandom(4), "little")),
+                        (1, 100))
                     cond = jnp.asarray([int(label)])
                     y, _ = gen.apply(p, s, z, cond, train=False)
                     y01 = np.clip(np.asarray(y)[0] * 0.5 + 0.5, 0, 1)
