@@ -58,6 +58,14 @@ def main(argv=None) -> int:
     import jax.image as jimage
 
     lr = args.lr_size
+    if lr is not None:
+        # hoisted out of the loop: a fresh lambda per batch would miss the
+        # jit cache and retrace every iteration
+        @jax.jit
+        def lr_resize(x):
+            return jimage.resize(
+                x, (x.shape[0], lr[0], lr[1], x.shape[3]), "bicubic")
+
     for start in range(0, len(paths), args.batch):
         chunk = paths[start : start + args.batch]
         imgs, keep = [], []
@@ -74,10 +82,7 @@ def main(argv=None) -> int:
             noisy = np.asarray(noise_fns[t](next(keys), batch))
             if lr is not None:
                 # SRGAN layout: noisy side is downscaled to LR on device
-                noisy = np.asarray(jax.jit(
-                    lambda x: jimage.resize(
-                        x, (x.shape[0], lr[0], lr[1], x.shape[3]), "bicubic")
-                )(noisy))
+                noisy = np.asarray(lr_resize(noisy))
             for img, src in zip(noisy, keep):
                 rel = os.path.relpath(src, args.clean_dir)
                 dst = os.path.join(args.out_dir, t, rel)

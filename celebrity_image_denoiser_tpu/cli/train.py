@@ -46,7 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-on-the-fly", action="store_true",
                    help="read pre-rendered noisy pairs from --noisy-dir "
                         "(reference-parity pipeline)")
-    p.add_argument("--noise-variant", type=int, default=1, choices=[1, 2, 3])
+    p.add_argument("--noise-variant", type=int, default=None, choices=[1, 2, 3],
+                   help="default: the variant the reference uses for the "
+                        "model family (v1 denoise, v2 srgan/cgan, v3 esrgan)")
+    p.add_argument("--sr-scale", type=int, default=4,
+                   help="srgan upscale factor (LR = image-size / scale)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize generator activations (jax.checkpoint)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-data-parallel", action="store_true")
     return p
@@ -64,8 +70,12 @@ def main(argv=None) -> int:
         checkpoint_dir=args.checkpoint_dir,
         graph_dir=args.graph_dir,
         on_the_fly_noise=not args.no_on_the_fly,
+        noise_variant=args.noise_variant,
+        remat=args.remat,
         data_parallel=not args.no_data_parallel,
     )
+    # numeric domain per family: esrgan/dncnn train in [0,1]; others [-1,1]
+    zero_one_family = args.model in ("esrgan", "dncnn")
 
     import jax
 
@@ -80,6 +90,8 @@ def main(argv=None) -> int:
                                test_split=cfg.test_split, split_seed=cfg.split_seed)
 
         class Normalized:
+            # the jitted step always receives clean in [-1,1] on this path
+            # and converts per family internally (gan_trainer.py)
             def __len__(self):
                 return len(ds)
 
@@ -89,16 +101,37 @@ def main(argv=None) -> int:
 
         dataset = Normalized()
     else:
+        # SRGAN's disk layout is LR noisy / HR clean (sr_ganNoise.py);
+        # esrgan/dncnn pairs load unnormalized ([0,1], their train domain)
+        lr_hw = None
+        if args.model == "srgan":
+            lr_hw = (cfg.image_size[0] // args.sr_scale,
+                     cfg.image_size[1] // args.sr_scale)
         dataset = PairedImageDataset(
             args.noisy_dir, args.clean_dir, cfg.noise_types,
-            image_size=cfg.image_size, test_split=cfg.test_split,
-            split_seed=cfg.split_seed)
+            noisy_size=lr_hw or cfg.image_size, clean_size=cfg.image_size,
+            test_split=cfg.test_split, split_seed=cfg.split_seed,
+            normalize=not zero_one_family)
 
+    sharding = None
+    if mesh is not None:
+        from celebrity_image_denoiser_tpu.parallel import batch_sharding
+
+        sharding = batch_sharding(mesh, cfg.mesh_axis)
     pipeline = DataPipeline(dataset, cfg.batch_size, shuffle=True,
-                            seed=cfg.seed, drop_last=True)
+                            seed=cfg.seed, drop_last=True, sharding=sharding)
 
-    gen = M.build_generator(args.model if args.model != "dncnn" else "dncnn")
-    disc = None if args.model == "dncnn" else M.build_discriminator(args.model)
+    if args.model == "srgan":
+        gen = M.build_generator("srgan", scale_factor=args.sr_scale)
+    else:
+        gen = M.build_generator(args.model)
+    if args.model == "dncnn":
+        disc = None
+    elif args.model in ("esrgan", "cgan"):
+        # these discriminators' Linear widths depend on the input size
+        disc = M.build_discriminator(args.model, input_hw=tuple(cfg.image_size))
+    else:
+        disc = M.build_discriminator(args.model)
     perceptual = None
     if args.model == "srgan":
         from celebrity_image_denoiser_tpu.core import prng

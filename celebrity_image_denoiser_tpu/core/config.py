@@ -63,11 +63,24 @@ class TrainConfig:
     # noisy dataset on disk (the TPU-native default; set False for parity
     # with the reference's disk-pair pipeline).
     on_the_fly_noise: bool = True
+    # noise variant (1|2|3, data/noise.py); None → the variant the reference
+    # uses for the model family (v1 denoise, v2 srgan/cgan, v3 esrgan)
+    noise_variant: Optional[int] = None
+    # rematerialize generator activations in backward (jax.checkpoint):
+    # trades FLOPs for HBM to raise the trainable batch size
+    remat: bool = False
     data_parallel: bool = True
     mesh_axis: str = "data"
     # metric evaluation on device every step (reference ping-pongs to CPU
     # per batch, training.py:378-392; we default to on-device).
     eval_on_device: bool = True
+
+
+# the noise variant each reference training pipeline uses (SURVEY.md §2:
+# noise v1 denoise_gan, v2 srgan/cgan, v3 esrgan); dncnn (new) uses v1
+FAMILY_NOISE_VARIANT = {
+    "denoise": 1, "dncnn": 1, "srgan": 2, "cgan": 2, "esrgan": 3,
+}
 
 
 @dataclasses.dataclass

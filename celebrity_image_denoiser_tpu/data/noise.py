@@ -47,13 +47,19 @@ def gaussian_v1(key, img, mean=0.0, sigma=25.0):
 
 
 def salt_pepper_v1(key, img, salt_prob=0.02, pepper_prob=0.02):
-    """Per-pixel (all channels) salt/pepper, probabilities as in
-    noise_generation.py:12-22 (which draws num = p * size coordinates)."""
+    """Per-pixel (all channels) salt/pepper matching noise_generation.py:
+    12-22's *effective* density: the reference draws num = p·H·W·C pixel
+    coordinates with replacement over the H·W grid (the channel coordinate is
+    discarded), so a pixel flips with probability 1 − e^(−p·C) ≈ 5.8% per
+    polarity at p=0.02, C=3 — not p itself.  Pepper overwrites salt on
+    overlap, as in the reference (pepper applied second)."""
     k1, k2 = jax.random.split(key)
+    c = img.shape[-1]
+    p_salt = 1.0 - jnp.exp(-salt_prob * c)
+    p_pepper = 1.0 - jnp.exp(-pepper_prob * c)
     pix_shape = img.shape[:-1] + (1,)
-    u = jax.random.uniform(k1, pix_shape)
-    salt = u < salt_prob
-    pepper = jax.random.uniform(k2, pix_shape) < pepper_prob
+    salt = jax.random.uniform(k1, pix_shape) < p_salt
+    pepper = jax.random.uniform(k2, pix_shape) < p_pepper
     out = jnp.where(salt, 1.0, img)
     return jnp.where(pepper, 0.0, out)
 

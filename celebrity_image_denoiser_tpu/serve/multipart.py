@@ -32,8 +32,18 @@ def parse_multipart(body: bytes, content_type_header: str) -> Dict[str, Part]:
     delim = b"--" + boundary.encode()
     parts: Dict[str, Part] = {}
     for chunk in body.split(delim):
-        chunk = chunk.strip(b"\r\n")
-        if not chunk or chunk == b"--":
+        # framing is exactly one CRLF after the boundary line and one before
+        # the next boundary; strip only those — a blanket strip(b"\r\n")
+        # would eat payload bytes of binary files ending in 0x0d/0x0a
+        if chunk.startswith(b"\r\n"):
+            chunk = chunk[2:]
+        elif chunk.startswith(b"\n"):
+            chunk = chunk[1:]
+        if chunk.endswith(b"\r\n"):
+            chunk = chunk[:-2]
+        elif chunk.endswith(b"\n"):
+            chunk = chunk[:-1]
+        if not chunk or chunk in (b"--", b"--\r\n"):
             continue
         if b"\r\n\r\n" not in chunk:
             continue

@@ -69,6 +69,7 @@ def make_train_step(
     data_axis: str = "data",
     donate: bool = True,
     remat: bool = False,
+    sr_scale: int = 1,
 ):
     """Build (init_fn, step_fn).
 
@@ -105,7 +106,7 @@ def make_train_step(
 
     def eval_metrics(fake, clean):
         """On-device PSNR/SSIM with the family's data_range quirk."""
-        if family == "esrgan":
+        if family in ("esrgan", "dncnn"):  # [0,1]-domain families
             f = jnp.clip(fake, 0.0, 1.0)
             c = jnp.clip(clean, 0.0, 1.0)
             return (jnp.mean(M.psnr(f, c, data_range=1.0)),
@@ -124,8 +125,15 @@ def make_train_step(
             # renormalize — same convention as the disk pipeline.
             clean01 = clean * 0.5 + 0.5
             noisy01 = noise_lib.random_noise_batch(key, clean01, variant=noise_variant)
+            if sr_scale > 1:
+                # super-resolution families train LR→HR: downscale the noisy
+                # side on device (the offline pipeline's LR rendering,
+                # sr_ganNoise.py:45-104, done per batch instead)
+                n, h, w, c = noisy01.shape
+                noisy01 = jax.image.resize(
+                    noisy01, (n, h // sr_scale, w // sr_scale, c), "bicubic")
             noisy = noisy01 * 2.0 - 1.0
-            if family == "esrgan":  # esrgan trains in [0,1]
+            if family in ("esrgan", "dncnn"):  # [0,1]-domain families
                 noisy, clean = noisy01, clean01
 
         if family == "dncnn":
@@ -247,6 +255,8 @@ class GANTrainer:
         self.test_pair = test_pair
         self.extra_metrics = extra_metrics
 
+        from celebrity_image_denoiser_tpu.core.config import FAMILY_NOISE_VARIANT
+
         self.init_fn, self.step_fn = make_train_step(
             generator,
             discriminator,
@@ -257,8 +267,13 @@ class GANTrainer:
             adam_b1=cfg.betas[0],
             adam_b2=cfg.betas[1],
             on_the_fly_noise=cfg.on_the_fly_noise,
+            noise_variant=cfg.noise_variant
+            or FAMILY_NOISE_VARIANT.get(self.family, 1),
             mesh=mesh,
             data_axis=cfg.mesh_axis,
+            remat=cfg.remat,
+            sr_scale=getattr(generator, "scale_factor", 1)
+            if self.family == "srgan" else 1,
         )
         self.carry = self.init_fn(prng.key(cfg.seed))
         self.schedule_g = optim.step_lr(cfg.lr, cfg.step_lr_step_size, cfg.step_lr_gamma)
@@ -371,8 +386,13 @@ class GANTrainer:
             return 0.0, 0.0
         noisy, clean = self.test_pair
         fake = self.generate(noisy[None] if noisy.ndim == 3 else noisy)
-        f01 = np.clip(fake * 0.5 + 0.5, 0, 1)
-        c01 = np.clip((clean[None] if clean.ndim == 3 else clean) * 0.5 + 0.5, 0, 1)
+        cb = clean[None] if clean.ndim == 3 else clean
+        if self.family in ("esrgan", "dncnn"):  # already [0,1]
+            f01 = np.clip(fake, 0, 1)
+            c01 = np.clip(cb, 0, 1)
+        else:
+            f01 = np.clip(fake * 0.5 + 0.5, 0, 1)
+            c01 = np.clip(cb * 0.5 + 0.5, 0, 1)
         lp = float(np.mean(np.asarray(self._pd(jnp.asarray(f01), jnp.asarray(c01)))))
         ms = 0.0
         if f01.shape[1] >= 176 and f01.shape[2] >= 176:

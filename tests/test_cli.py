@@ -72,6 +72,36 @@ def test_eval_cli_batch_and_iterative(clean_tree, tmp_path):
     assert any("_iter1" in f for f in files) and any("_iter2" in f for f in files)
 
 
+def test_train_cli_srgan_end_to_end(clean_tree, tmp_path):
+    """SRGAN via the CLI: on-the-fly noise downscales to LR on device."""
+    from celebrity_image_denoiser_tpu.cli.train import main
+
+    rc = main([
+        "--model", "srgan", "--clean-dir", clean_tree,
+        "--num-epochs", "1", "--batch-size", "4", "--image-size", "32", "32",
+        "--sr-scale", "4",
+        "--checkpoint-dir", str(tmp_path / "cks"),
+        "--graph-dir", str(tmp_path / "gs"),
+        "--no-data-parallel",
+    ])
+    assert rc == 0
+    assert os.path.isdir(tmp_path / "cks" / "srgan_epoch_0")
+
+
+def test_train_cli_esrgan_small_image_size(clean_tree, tmp_path):
+    """Non-default image sizes must size the discriminator's Linear."""
+    from celebrity_image_denoiser_tpu.cli.train import main
+
+    rc = main([
+        "--model", "esrgan", "--clean-dir", clean_tree,
+        "--num-epochs", "1", "--batch-size", "4", "--image-size", "16", "16",
+        "--checkpoint-dir", str(tmp_path / "cke"),
+        "--graph-dir", str(tmp_path / "ge"),
+        "--no-data-parallel",
+    ])
+    assert rc == 0
+
+
 def test_parsers_have_no_interactive_prompts():
     """The reference asks for epoch counts via input() (training.py:503);
     every CLI here must be fully flag-driven with defaults."""

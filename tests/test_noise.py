@@ -27,11 +27,15 @@ def test_gaussian_v1_sigma25():
 
 
 def test_salt_pepper_v1_fractions():
+    # the reference draws p*H*W*C coords over the H*W pixel grid → effective
+    # per-pixel rate 1 - e^(-p*C) ≈ 5.82% per polarity (noise.py docstring);
+    # pepper overwrites salt on overlap
     out = np.asarray(noise.add_noise(KEY, IMG, "salt_pepper", variant=1))
+    p_eff = 1 - np.exp(-0.02 * 3)
     salt = (out == 1.0).all(axis=-1).mean()
     pepper = (out == 0.0).all(axis=-1).mean()
-    assert abs(salt - 0.02) < 0.01
-    assert abs(pepper - 0.02) < 0.01
+    assert abs(pepper - p_eff) < 0.012
+    assert abs(salt - p_eff * (1 - p_eff)) < 0.012
 
 
 def test_salt_pepper_v2_amount():

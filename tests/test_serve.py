@@ -136,6 +136,16 @@ def test_corrupt_image_500(server):
     assert data["detail"] == "Image enhancement failed"
 
 
+def test_multipart_preserves_binary_tails():
+    """Payloads ending in CR/LF bytes must survive framing intact."""
+    from celebrity_image_denoiser_tpu.serve.multipart import parse_multipart
+
+    payload = b"\x89PNGdata\x0d\x0a\x0a"  # ends with CR LF LF
+    body, ctype = _multipart({"file": ("a.bin", "image/png", payload)})
+    parts = parse_multipart(body, ctype)
+    assert parts["file"].data == payload
+
+
 def test_ui_served(server):
     with urllib.request.urlopen(server + "/ui") as r:
         html = r.read().decode()
