@@ -353,6 +353,39 @@ class GANTrainer:
         y, _ = self.generator.apply(g_params, g_state, jnp.asarray(noisy), train=False)
         return np.asarray(y)
 
+    def evaluate_dataset(self, pipeline) -> Dict[str, float]:
+        """Full held-out evaluation pass: mean PSNR/SSIM over a pipeline of
+        (noisy, clean) batches, on device with the family's data_range
+        convention.  (The reference only ever evaluates on train batches
+        inside the loop, training.py:432; this is the proper eval the
+        framework adds.)"""
+        g_params, g_state = self.carry[0], self.carry[1]
+
+        @jax.jit
+        def eval_batch(noisy, clean):
+            fake, _ = self.generator.apply(g_params, g_state, noisy, train=False)
+            if self.family in ("esrgan", "dncnn"):
+                f = jnp.clip(fake, 0.0, 1.0)
+                c = jnp.clip(clean, 0.0, 1.0)
+                return (jnp.mean(M.psnr(f, c, data_range=1.0)),
+                        jnp.mean(M.ssim(f, c, data_range=1.0)))
+            if self.family == "cgan":
+                return (jnp.mean(M.psnr(fake, clean, data_range=2.0)),
+                        jnp.mean(M.ssim_tf(fake, clean, max_val=2.0)))
+            return (jnp.mean(M.psnr(fake, clean, data_range=2.0)),
+                    jnp.mean(M.ssim(fake, clean, data_range=2.0)))
+
+        vals = []
+        for batch in pipeline:
+            noisy, clean = batch if isinstance(batch, tuple) else (batch, batch)
+            vals.append(eval_batch(noisy, clean))
+        if not vals:
+            return {"psnr": 0.0, "ssim": 0.0, "batches": 0}
+        arr = np.asarray(jax.device_get(vals), np.float64)
+        return {"psnr": float(arr[:, 0].mean()),
+                "ssim": float(arr[:, 1].mean()),
+                "batches": len(vals)}
+
     def test_random_images(self, epoch: int):
         """Per-epoch visual spot-check: run the held-out test pair through
         the generator and save a labeled noisy/denoised side-by-side JPEG —

@@ -160,6 +160,21 @@ def test_trainer_loop_and_resume(rng_np, tmp_path):
     assert tr2.metric_history["psnr"] == pytest.approx(hist["psnr"])
 
 
+def test_evaluate_dataset(rng_np, tmp_path):
+    from celebrity_image_denoiser_tpu.data.pipeline import DataPipeline
+
+    clean = rng_np.uniform(-1, 1, (8, 16, 16, 3)).astype(np.float32)
+    noisy = np.clip(clean + rng_np.normal(0, 0.1, clean.shape), -1, 1).astype(np.float32)
+    cfg = TrainConfig(model="denoise", num_epochs=1, batch_size=4,
+                      checkpoint_dir=str(tmp_path / "ck"), on_the_fly_noise=False)
+    tr = GANTrainer(models.DenoiseGenerator(), models.DenoiseDiscriminator(),
+                    DataPipeline(_ArrayPairDataset(noisy, clean), 4), cfg)
+    res = tr.evaluate_dataset(
+        DataPipeline(_ArrayPairDataset(noisy, clean), 4, shuffle=False))
+    assert res["batches"] == 2
+    assert 0.0 < res["ssim"] <= 1.0 and res["psnr"] > 0.0
+
+
 def test_trainer_epoch_render(rng_np, tmp_path):
     """test_random_images contract: per-epoch side-by-side JPEG saved."""
     from celebrity_image_denoiser_tpu.data.pipeline import DataPipeline
