@@ -136,6 +136,38 @@ def test_corrupt_image_500(server):
     assert data["detail"] == "Image enhancement failed"
 
 
+def test_cgan_keras_single_input_ignores_condition(tmp_path):
+    """With keras weights loaded, a cond_file request succeeds and the
+    condition is ignored (the shipped Sequential model is single-input —
+    reference app.py:457-458 falls through to predict(x))."""
+    import os
+    import shutil
+
+    src = "/root/reference/backend/weights/cgan_epoch_500.keras"
+    if not os.path.exists(src):
+        pytest.skip("shipped .keras not available")
+    wdir = tmp_path / "w"
+    wdir.mkdir()
+    shutil.copy(src, wdir / "cgan_epoch_500.keras")
+    srv = make_server("127.0.0.1", 0, weights_dir=str(wdir))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        png = _png_bytes(16, 16)
+        body, ctype = _multipart({
+            "file": ("a.png", "image/png", png),
+            "cond_file": ("c.png", "image/png", png),
+        })
+        status, data = _post(
+            f"http://127.0.0.1:{port}/enhance?model=cgan&cgan_backend=keras",
+            body, ctype)
+        assert status == 200, data
+        assert data["backend"] == "keras"
+    finally:
+        srv.shutdown()
+
+
 def test_multipart_preserves_binary_tails():
     """Payloads ending in CR/LF bytes must survive framing intact."""
     from celebrity_image_denoiser_tpu.serve.multipart import parse_multipart
