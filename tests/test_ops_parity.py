@@ -127,6 +127,35 @@ def test_batch_norm_matches_torch(rng_np, train):
         )
 
 
+def test_batch_norm_keras_convention(rng_np):
+    """Keras BN: eps 1e-3, momentum 0.99 with running = m*run + (1-m)*batch
+    (flipped vs torch) — checked against a manual numpy computation."""
+    from celebrity_image_denoiser_tpu import ops
+
+    c = 4
+    x = rng_np.standard_normal((3, 5, 5, c)).astype(np.float32)
+    scale = np.ones(c, np.float32)
+    bias = np.zeros(c, np.float32)
+    run_mean = np.full(c, 0.3, np.float32)
+    run_var = np.full(c, 2.0, np.float32)
+    got, new_state = ops.batch_norm(
+        jnp.asarray(x),
+        {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)},
+        {"mean": jnp.asarray(run_mean), "var": jnp.asarray(run_var)},
+        train=True, eps=1e-3, momentum=0.99, keras_momentum=True,
+    )
+    bm = x.mean(axis=(0, 1, 2))
+    bv = x.var(axis=(0, 1, 2))
+    np.testing.assert_allclose(
+        np.asarray(got), (x - bm) / np.sqrt(bv + 1e-3), rtol=1e-4, atol=1e-5)
+    n = x.size // c
+    unbiased = bv * n / (n - 1)
+    np.testing.assert_allclose(np.asarray(new_state["mean"]),
+                               0.99 * run_mean + 0.01 * bm, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["var"]),
+                               0.99 * run_var + 0.01 * unbiased, rtol=1e-5)
+
+
 def test_leaky_relu_and_prelu(rng_np):
     x = rng_np.standard_normal((2, 4, 4, 3), dtype=np.float32)
     ref = F.leaky_relu(torch.from_numpy(x), 0.2).numpy()

@@ -148,6 +148,23 @@ def test_tiled_single_device_matches_full(rng_np):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_1024_row_portrait_tiled_multichip(rng_np, mesh):
+    """BASELINE config 5 at structural scale: a 1024-row portrait strip
+    height-sharded over 8 chips (128 rows each), single-round halo — the
+    interior (all but the outer receptive band) matches single-shot."""
+    model = models.DenoiseGenerator()
+    params, state = model.init(prng.key(0))
+    x = rng_np.uniform(-1, 1, (1, 1024, 16, 3)).astype(np.float32)
+    y_full, _ = model.apply(params, state, jnp.asarray(x))
+    tiled = parallel.tiled_apply(model, params, state, mesh, halo=32)
+    y_tiled = tiled(jnp.asarray(x))
+    assert y_tiled.shape == (1, 1024, 16, 3)
+    band = 28
+    np.testing.assert_allclose(
+        np.asarray(y_tiled)[:, band:-band], np.asarray(y_full)[:, band:-band],
+        rtol=1e-5, atol=1e-5)
+
+
 def test_collectives_ppermute_shift(mesh):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
