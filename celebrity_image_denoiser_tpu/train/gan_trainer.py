@@ -244,6 +244,7 @@ class GANTrainer:
         perceptual: Optional[Callable] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         test_pair: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        val_pipeline=None,
         extra_metrics: bool = False,
     ):
         self.cfg = cfg
@@ -253,6 +254,7 @@ class GANTrainer:
         self.pipeline = pipeline
         self.mesh = mesh
         self.test_pair = test_pair
+        self.val_pipeline = val_pipeline  # per-epoch validation metrics
         self.extra_metrics = extra_metrics
 
         from celebrity_image_denoiser_tpu.core.config import FAMILY_NOISE_VARIANT
@@ -487,6 +489,13 @@ class GANTrainer:
                 avgs["psnr"], avgs["ssim"],
                 n_batches * cfg.batch_size / max(dt, 1e-9),
             )
+            if self.val_pipeline is not None:
+                # per-epoch validation like the cGAN trainer's test_model
+                # (training5Pbar.py:196), but over the full val split
+                val = self.evaluate_dataset(self.val_pipeline)
+                logger.info("Epoch [%d/%d] val PSNR %.3f SSIM %.4f (%d batches)",
+                            epoch + 1, cfg.num_epochs, val["psnr"],
+                            val["ssim"], val["batches"])
             if self.test_pair is not None:
                 self.test_random_images(epoch)
             is_best = avgs["psnr"] > self.best_psnr
