@@ -86,6 +86,7 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
                 qs = urllib.parse.parse_qs(parsed.query)
                 model = (qs.get("model", [""])[0] or "").strip()
                 cgan_backend = qs.get("cgan_backend", ["auto"])[0]
+                include_graph = qs.get("graphs", ["true"])[0].lower() != "false"
                 length = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(length)
                 ctype = self.headers.get("Content-Type", "")
@@ -109,6 +110,7 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
                     cgan_backend=cgan_backend,
                     label=label,
                     cond_bytes=cond.data if cond else None,
+                    include_graph=include_graph,
                 )
                 self._send(200, result)
             except EnhanceError as e:

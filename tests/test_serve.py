@@ -136,6 +136,15 @@ def test_corrupt_image_500(server):
     assert data["detail"] == "Image enhancement failed"
 
 
+def test_graphs_false_skips_figure(server):
+    body, ctype = _multipart({"file": ("a.png", "image/png", _png_bytes())})
+    status, data = _post(f"{server}/enhance?model=denoise&graphs=false",
+                         body, ctype)
+    assert status == 200
+    assert data["noise_graph_base64"] == ""  # contract key kept, empty
+    assert data["denoised_image_base64"]
+
+
 def test_cgan_keras_single_input_ignores_condition(tmp_path):
     """With keras weights loaded, a cond_file request succeeds and the
     condition is ignored (the shipped Sequential model is single-input —
