@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -31,20 +32,46 @@ logger = get_logger("cid_tpu.ckpt")
 _ESC = "\x00"  # npz keys can't collide with '/' paths; keep dotted paths
 
 
-def save_checkpoint(path: str, sections: Dict[str, Any], meta: Optional[Dict] = None) -> None:
+_pending_saves: list = []
+
+
+def save_checkpoint(path: str, sections: Dict[str, Any],
+                    meta: Optional[Dict] = None,
+                    async_write: bool = False) -> None:
     """sections: {"g_params": tree, "d_params": tree, ...} of array pytrees;
-    meta: JSON-serializable scalars (epoch, best_psnr, metric_history...)."""
-    os.makedirs(path, exist_ok=True)
+    meta: JSON-serializable scalars (epoch, best_psnr, metric_history...).
+
+    ``async_write``: D2H transfer happens inline (cheap, async dispatch),
+    but serialization/compression/IO runs on a background thread so training
+    resumes immediately; call ``wait_for_saves()`` before process exit.
+    """
     flat: Dict[str, np.ndarray] = {}
     for section, t in sections.items():
         if t is None:
             continue
         for k, v in treelib.flatten(t, section).items():
             flat[k] = np.asarray(jax.device_get(v))
-    np.savez(os.path.join(path, "arrays.npz"), **flat)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta or {}, f, indent=1, default=float)
-    logger.info("saved checkpoint: %s (%d arrays)", path, len(flat))
+    meta = meta or {}
+
+    def write():
+        os.makedirs(path, exist_ok=True)
+        np.savez(os.path.join(path, "arrays.npz"), **flat)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1, default=float)
+        logger.info("saved checkpoint: %s (%d arrays)", path, len(flat))
+
+    if async_write:
+        t = threading.Thread(target=write, daemon=True)
+        t.start()
+        _pending_saves.append(t)
+    else:
+        write()
+
+
+def wait_for_saves() -> None:
+    """Block until all async checkpoint writes complete."""
+    while _pending_saves:
+        _pending_saves.pop().join()
 
 
 def load_checkpoint(path: str):

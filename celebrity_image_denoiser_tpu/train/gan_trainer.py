@@ -303,14 +303,15 @@ class GANTrainer:
             "metric_history": self.metric_history,
             "family": self.family,
         }
-        # cadence mirrors training.py:372 (first | last | even epochs)
+        # cadence mirrors training.py:372 (first | last | even epochs);
+        # serialization runs off-thread so the next epoch starts immediately
         if epoch == 0 or epoch == self.cfg.num_epochs - 1 or epoch % 2 == 0:
             path = os.path.join(self.cfg.checkpoint_dir, f"{self.family}_epoch_{epoch}")
-            ckpt_lib.save_checkpoint(path, sections, meta)
+            ckpt_lib.save_checkpoint(path, sections, meta, async_write=True)
         if is_best:
             path = os.path.join(self.cfg.checkpoint_dir, "best",
                                 f"{self.family}_epoch_{epoch}")
-            ckpt_lib.save_checkpoint(path, sections, meta)
+            ckpt_lib.save_checkpoint(path, sections, meta, async_write=True)
 
     def resume(self, path: Optional[str] = None) -> int:
         """Restore trainer state; returns the next epoch to run.  This is
@@ -504,4 +505,5 @@ class GANTrainer:
             self.save_checkpoint(epoch, is_best)
             if epoch_callback is not None:
                 epoch_callback(self, epoch, avgs)
+        ckpt_lib.wait_for_saves()
         return self.metric_history

@@ -36,6 +36,30 @@ def test_pth_roundtrip_through_torch(tmp_path, rng_np):
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)
 
 
+@pytest.mark.parametrize("name,builder", [
+    ("srgan", lambda: models.SRGANGenerator(4)),        # PReLU + BN + PixelShuffle
+    ("esrgan", lambda: models.ESRGANGenerator(2)),      # residual blocks
+    ("denoise_d", models.DenoiseDiscriminator),         # BN + sigmoid ladder
+    ("esrgan_d", lambda: models.ESRGANDiscriminator(input_hw=(32, 32))),  # Linear
+    ("cgan_torch", models.CGANTorchGenerator),          # Embedding + Linear + BN
+])
+def test_pth_roundtrip_all_families(tmp_path, rng_np, name, builder):
+    """Exporter/importer inverse property across every layer type."""
+    pytest.importorskip("torch")
+    import jax
+
+    model = builder()
+    params, state = model.init(prng.key(0))
+    path = str(tmp_path / f"{name}.pth")
+    save_pth(model, params, state, path, key="state_dict")
+    p2, s2 = model.init(prng.key(1))
+    p2, s2 = load_pth_safely(model, path, p2, s2)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_keras_export_roundtrip(tmp_path, rng_np):
     pytest.importorskip("h5py")
     model = models.CGANKerasGenerator()
