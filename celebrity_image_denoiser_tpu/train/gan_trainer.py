@@ -124,7 +124,13 @@ def make_train_step(
             # clean arrives in [-1,1]; inject noise in [0,1] domain then
             # renormalize — same convention as the disk pipeline.
             clean01 = clean * 0.5 + 0.5
-            noisy01 = noise_lib.random_noise_batch(key, clean01, variant=noise_variant)
+            if family == "dncnn":
+                # blind-σ Gaussian, σ∈[5,50] — the DnCNN training setup
+                # (BASELINE config 3), not the 5-type mixture
+                noisy01 = noise_lib.blind_gaussian_batch(key, clean01)
+            else:
+                noisy01 = noise_lib.random_noise_batch(
+                    key, clean01, variant=noise_variant)
             if sr_scale > 1:
                 # super-resolution families train LR→HR: downscale the noisy
                 # side on device (the offline pipeline's LR rendering,

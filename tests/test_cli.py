@@ -88,6 +88,21 @@ def test_train_cli_srgan_end_to_end(clean_tree, tmp_path):
     assert os.path.isdir(tmp_path / "cks" / "srgan_epoch_0")
 
 
+def test_train_cli_cgan_end_to_end(clean_tree, tmp_path):
+    """cGAN (keras-arch) via the CLI: joint-update family, sized disc."""
+    from celebrity_image_denoiser_tpu.cli.train import main
+
+    rc = main([
+        "--model", "cgan", "--clean-dir", clean_tree,
+        "--num-epochs", "1", "--batch-size", "4", "--image-size", "16", "16",
+        "--checkpoint-dir", str(tmp_path / "ckc"),
+        "--graph-dir", str(tmp_path / "gc"),
+        "--no-data-parallel",
+    ])
+    assert rc == 0
+    assert os.path.isdir(tmp_path / "ckc" / "cgan_epoch_0")
+
+
 def test_train_cli_esrgan_small_image_size(clean_tree, tmp_path):
     """Non-default image sizes must size the discriminator's Linear."""
     from celebrity_image_denoiser_tpu.cli.train import main
