@@ -33,6 +33,7 @@ _ESC = "\x00"  # npz keys can't collide with '/' paths; keep dotted paths
 
 
 _pending_saves: list = []
+_save_errors: list = []
 
 
 def save_checkpoint(path: str, sections: Dict[str, Any],
@@ -41,9 +42,14 @@ def save_checkpoint(path: str, sections: Dict[str, Any],
     """sections: {"g_params": tree, "d_params": tree, ...} of array pytrees;
     meta: JSON-serializable scalars (epoch, best_psnr, metric_history...).
 
-    ``async_write``: D2H transfer happens inline (cheap, async dispatch),
-    but serialization/compression/IO runs on a background thread so training
-    resumes immediately; call ``wait_for_saves()`` before process exit.
+    Writes are **atomic**: arrays land in a temp file os.replace'd into
+    place, so a crash mid-write never leaves a truncated arrays.npz for
+    latest_checkpoint() to pick up.
+
+    ``async_write``: D2H transfer and a meta snapshot happen inline;
+    serialization/compression/IO runs on a background thread so training
+    resumes immediately.  Call ``wait_for_saves()`` before relying on the
+    files — it re-raises the first background write error.
     """
     flat: Dict[str, np.ndarray] = {}
     for section, t in sections.items():
@@ -51,14 +57,26 @@ def save_checkpoint(path: str, sections: Dict[str, Any],
             continue
         for k, v in treelib.flatten(t, section).items():
             flat[k] = np.asarray(jax.device_get(v))
-    meta = meta or {}
+    # snapshot now: callers keep mutating live objects (metric_history)
+    # while the background thread serializes
+    meta_json = json.dumps(meta or {}, indent=1, default=float)
 
     def write():
-        os.makedirs(path, exist_ok=True)
-        np.savez(os.path.join(path, "arrays.npz"), **flat)
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f, indent=1, default=float)
-        logger.info("saved checkpoint: %s (%d arrays)", path, len(flat))
+        try:
+            os.makedirs(path, exist_ok=True)
+            tmp = os.path.join(path, ".arrays.npz.tmp")
+            with open(tmp, "wb") as f:
+                np.savez(f, **flat)
+            os.replace(tmp, os.path.join(path, "arrays.npz"))
+            tmp_meta = os.path.join(path, ".meta.json.tmp")
+            with open(tmp_meta, "w") as f:
+                f.write(meta_json)
+            os.replace(tmp_meta, os.path.join(path, "meta.json"))
+            logger.info("saved checkpoint: %s (%d arrays)", path, len(flat))
+        except Exception as e:
+            logger.error("checkpoint write failed: %s (%s)", path, e)
+            _save_errors.append(e)
+            raise
 
     if async_write:
         t = threading.Thread(target=write, daemon=True)
@@ -69,9 +87,15 @@ def save_checkpoint(path: str, sections: Dict[str, Any],
 
 
 def wait_for_saves() -> None:
-    """Block until all async checkpoint writes complete."""
+    """Block until all async checkpoint writes complete; re-raise the first
+    background write error (a silently missing checkpoint is worse than a
+    loud failure)."""
     while _pending_saves:
         _pending_saves.pop().join()
+    if _save_errors:
+        err = _save_errors[0]
+        _save_errors.clear()
+        raise err
 
 
 def load_checkpoint(path: str):

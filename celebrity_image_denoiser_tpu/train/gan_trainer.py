@@ -53,6 +53,23 @@ logger = get_logger("cid_tpu.train")
 FAMILIES = ("denoise", "srgan", "esrgan", "cgan", "dncnn")
 
 
+def family_eval_metrics(family: str, fake, clean):
+    """On-device PSNR/SSIM in the family's reference convention — the single
+    source of the data_range quirks (2.0 on [-1,1] tanh families; 1.0 on
+    clamped [0,1] for esrgan/dncnn; tf.image flavor for cgan).  Used by both
+    the jitted train step and evaluate_dataset."""
+    if family in ("esrgan", "dncnn"):
+        f = jnp.clip(fake, 0.0, 1.0)
+        c = jnp.clip(clean, 0.0, 1.0)
+        return (jnp.mean(M.psnr(f, c, data_range=1.0)),
+                jnp.mean(M.ssim(f, c, data_range=1.0)))
+    if family == "cgan":  # tf.image convention, max_val=2.0
+        return (jnp.mean(M.psnr(fake, clean, data_range=2.0)),
+                jnp.mean(M.ssim_tf(fake, clean, max_val=2.0)))
+    return (jnp.mean(M.psnr(fake, clean, data_range=2.0)),
+            jnp.mean(M.ssim(fake, clean, data_range=2.0)))
+
+
 def make_train_step(
     generator,
     discriminator,
@@ -70,6 +87,7 @@ def make_train_step(
     donate: bool = True,
     remat: bool = False,
     sr_scale: int = 1,
+    dncnn_blind: bool = True,
 ):
     """Build (init_fn, step_fn).
 
@@ -105,17 +123,7 @@ def make_train_step(
         return L.mse(fake, clean)
 
     def eval_metrics(fake, clean):
-        """On-device PSNR/SSIM with the family's data_range quirk."""
-        if family in ("esrgan", "dncnn"):  # [0,1]-domain families
-            f = jnp.clip(fake, 0.0, 1.0)
-            c = jnp.clip(clean, 0.0, 1.0)
-            return (jnp.mean(M.psnr(f, c, data_range=1.0)),
-                    jnp.mean(M.ssim(f, c, data_range=1.0)))
-        if family == "cgan":  # tf.image convention, max_val=2.0
-            return (jnp.mean(M.psnr(fake, clean, data_range=2.0)),
-                    jnp.mean(M.ssim_tf(fake, clean, max_val=2.0)))
-        return (jnp.mean(M.psnr(fake, clean, data_range=2.0)),
-                jnp.mean(M.ssim(fake, clean, data_range=2.0)))
+        return family_eval_metrics(family, fake, clean)
 
     def step(carry, noisy, clean, key, lr_g, lr_d):
         g_params, g_state, d_params, d_state, g_opt, d_opt = carry
@@ -124,9 +132,10 @@ def make_train_step(
             # clean arrives in [-1,1]; inject noise in [0,1] domain then
             # renormalize — same convention as the disk pipeline.
             clean01 = clean * 0.5 + 0.5
-            if family == "dncnn":
+            if family == "dncnn" and dncnn_blind:
                 # blind-σ Gaussian, σ∈[5,50] — the DnCNN training setup
-                # (BASELINE config 3), not the 5-type mixture
+                # (BASELINE config 3); an explicit noise_variant opts back
+                # into the 5-type mixture
                 noisy01 = noise_lib.blind_gaussian_batch(key, clean01)
             else:
                 noisy01 = noise_lib.random_noise_batch(
@@ -282,7 +291,17 @@ class GANTrainer:
             remat=cfg.remat,
             sr_scale=getattr(generator, "scale_factor", 1)
             if self.family == "srgan" else 1,
+            dncnn_blind=cfg.noise_variant is None,
         )
+        # eval fn jitted once (params/state as arguments — a per-call
+        # closure would embed them as constants and recompile every epoch)
+        fam = self.family
+
+        def _eval_fn(g_params, g_state, noisy, clean):
+            fake, _ = generator.apply(g_params, g_state, noisy, train=False)
+            return family_eval_metrics(fam, fake, clean)
+
+        self._eval_jit = jax.jit(_eval_fn)
         self.carry = self.init_fn(prng.key(cfg.seed))
         self.schedule_g = optim.step_lr(cfg.lr, cfg.step_lr_step_size, cfg.step_lr_gamma)
         self.schedule_d = optim.step_lr(cfg.lr, cfg.step_lr_step_size, cfg.step_lr_gamma)
@@ -369,25 +388,16 @@ class GANTrainer:
         inside the loop, training.py:432; this is the proper eval the
         framework adds.)"""
         g_params, g_state = self.carry[0], self.carry[1]
-
-        @jax.jit
-        def eval_batch(noisy, clean):
-            fake, _ = self.generator.apply(g_params, g_state, noisy, train=False)
-            if self.family in ("esrgan", "dncnn"):
-                f = jnp.clip(fake, 0.0, 1.0)
-                c = jnp.clip(clean, 0.0, 1.0)
-                return (jnp.mean(M.psnr(f, c, data_range=1.0)),
-                        jnp.mean(M.ssim(f, c, data_range=1.0)))
-            if self.family == "cgan":
-                return (jnp.mean(M.psnr(fake, clean, data_range=2.0)),
-                        jnp.mean(M.ssim_tf(fake, clean, max_val=2.0)))
-            return (jnp.mean(M.psnr(fake, clean, data_range=2.0)),
-                    jnp.mean(M.ssim(fake, clean, data_range=2.0)))
-
         vals = []
         for batch in pipeline:
-            noisy, clean = batch if isinstance(batch, tuple) else (batch, batch)
-            vals.append(eval_batch(noisy, clean))
+            if not isinstance(batch, tuple):
+                raise ValueError(
+                    "evaluate_dataset needs (noisy, clean) pair batches; a "
+                    "clean-only pipeline would measure identity "
+                    "reconstruction, not denoising — build val pairs with "
+                    "data.noise or a PairedImageDataset")
+            noisy, clean = batch
+            vals.append(self._eval_jit(g_params, g_state, noisy, clean))
         if not vals:
             return {"psnr": 0.0, "ssim": 0.0, "batches": 0}
         arr = np.asarray(jax.device_get(vals), np.float64)
@@ -444,6 +454,15 @@ class GANTrainer:
 
     # ---- the loop -------------------------------------------------------------
     def train(self, epoch_callback: Optional[Callable] = None):
+        try:
+            return self._train_loop(epoch_callback)
+        finally:
+            # flush async checkpoint writers even on exception/Ctrl-C so an
+            # in-flight save can't be killed mid-write (writes are atomic,
+            # but a lost save means losing that resume point)
+            ckpt_lib.wait_for_saves()
+
+    def _train_loop(self, epoch_callback: Optional[Callable] = None):
         cfg = self.cfg
         for epoch in range(self.start_epoch, cfg.num_epochs):
             lr_g = jnp.asarray(self.schedule_g(epoch), jnp.float32)
@@ -511,5 +530,4 @@ class GANTrainer:
             self.save_checkpoint(epoch, is_best)
             if epoch_callback is not None:
                 epoch_callback(self, epoch, avgs)
-        ckpt_lib.wait_for_saves()
         return self.metric_history

@@ -69,12 +69,16 @@ def main():
     print(f"[2/5] trained {args.epochs} epochs; PSNR history: "
           f"{[round(p, 2) for p in history['psnr']]}")
 
-    # 3. held-out evaluation with on-the-fly noise pairs
+    # 3. held-out evaluation with on-the-fly noise pairs — the ACTUAL
+    # held-out split (ds[i] serves train images; test_paths is the 20%)
     import jax
 
     from celebrity_image_denoiser_tpu.data import noise as noise_lib
 
-    test = np.stack([ds[i] for i in range(min(4, len(ds)))])
+    test = np.stack([
+        imageio.to_float01(imageio.imread_rgb(p, (64, 64)))
+        for p in ds.test_paths[:4]
+    ])
     noisy01 = np.asarray(noise_lib.random_noise_batch(
         jax.random.PRNGKey(1), test, variant=1))
     from celebrity_image_denoiser_tpu import metrics
@@ -91,8 +95,21 @@ def main():
     imageio.imwrite(out_path, (f01[0] * 255).astype(np.uint8))
     print(f"[4/5] wrote {out_path}")
 
-    print(f"[5/5] serve it: python -m celebrity_image_denoiser_tpu.cli.serve "
-          f"--weights-dir {cfg.checkpoint_dir} --port 8000   # then open /ui")
+    # 5. export serving weights in the layout ServeState loads
+    # (weights/denoise_epoch_499.pth, the reference filename)
+    from celebrity_image_denoiser_tpu.ckpt import save_pth
+
+    weights_dir = os.path.join(wd, "weights")
+    os.makedirs(weights_dir, exist_ok=True)
+    try:
+        save_pth(trainer.generator, trainer.carry[0], trainer.carry[1],
+                 os.path.join(weights_dir, "denoise_epoch_499.pth"),
+                 key="generator")
+        print(f"[5/5] serve it: python -m celebrity_image_denoiser_tpu.cli.serve "
+              f"--weights-dir {weights_dir} --port 8000   # then open /ui")
+    except ImportError:
+        print("[5/5] (torch not installed — skipping .pth export; serving "
+              "would use random init)")
 
 
 if __name__ == "__main__":
