@@ -29,8 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 TARGET = 10_000.0  # north star: ≥10k 128² denoises/sec/chip
-BATCH = 512
-N_ITERS = 20
+BATCH = 2048  # throughput saturates ~here (benchmarks/kernel_notes.md)
+N_ITERS = 12
 WATCHDOG_S = 600  # the tunneled worker can wedge (never-returning fetches);
                   # emit a diagnostic line and exit instead of hanging the driver
 
@@ -63,6 +63,9 @@ def main():
 
     model = models.DenoiseGenerator()
     params, state = model.init(prng.key(0))
+    # pre-cast the serving weights once (f32 master stays for training);
+    # saves the per-step f32→bf16 weight conversion and HBM reads
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
     @jax.jit
     def serve_step(params, state, x_uint8):
