@@ -136,6 +136,41 @@ def test_corrupt_image_500(server):
     assert data["detail"] == "Image enhancement failed"
 
 
+def test_concurrent_requests(server):
+    """ThreadingHTTPServer + jitted forwards must handle parallel clients
+    (jax dispatch is thread-safe; the handler's jit cache race is benign)."""
+    import concurrent.futures
+
+    body, ctype = _multipart({"file": ("a.png", "image/png", _png_bytes())})
+
+    def one(_):
+        return _post(f"{server}/enhance?model=denoise&graphs=false",
+                     body, ctype)[0]
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        codes = list(ex.map(one, range(4)))
+    assert codes == [200] * 4
+
+
+def test_rgba_and_grayscale_inputs(server):
+    """Non-RGB uploads convert like the reference's .convert('RGB')."""
+    import io as _io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    for mode, shape in [("RGBA", (12, 20, 4)), ("L", (12, 20))]:
+        arr = rng.integers(0, 255, shape, dtype=np.uint8)
+        buf = _io.BytesIO()
+        Image.fromarray(arr, mode=mode).save(buf, format="PNG")
+        body, ctype = _multipart({"file": ("a.png", "image/png", buf.getvalue())})
+        status, data = _post(f"{server}/enhance?model=denoise&graphs=false",
+                             body, ctype)
+        assert status == 200, (mode, data)
+        out = Image.open(_io.BytesIO(base64.b64decode(data["denoised_image_base64"])))
+        assert out.size == (20, 12)
+
+
 def test_graphs_false_skips_figure(server):
     body, ctype = _multipart({"file": ("a.png", "image/png", _png_bytes())})
     status, data = _post(f"{server}/enhance?model=denoise&graphs=false",
