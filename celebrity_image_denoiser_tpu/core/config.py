@@ -120,6 +120,14 @@ MODEL_CFG = {
         "pad_divisor": 4,
         "scale": 1,
     },
+    # extension beyond the reference's four: blind-σ residual denoiser
+    # (BASELINE config 3); [0,1] domain like esrgan
+    "dncnn": {
+        "normalize": None,
+        "activation": None,
+        "pad_divisor": 4,
+        "scale": 1,
+    },
 }
 
 

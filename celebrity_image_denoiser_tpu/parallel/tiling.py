@@ -118,16 +118,21 @@ def spatial_sharded_apply(
     *,
     axis: str = "data",
     train: bool = False,
+    spatial_dim: int = 1,
 ):
     """Exact multi-chip tiled inference via GSPMD spatial partitioning.
 
-    Returns fn(params, state, x) with x (N, H, W, C) height-sharded over the
-    mesh axis; XLA propagates the spatial sharding through every conv/pool,
-    inserting per-layer halo exchanges over ICI.  Output is bit-identical to
-    the single-device forward.  H must be divisible by the axis size.
+    Returns fn(params, state, x) with x (N, H, W, C) sharded along
+    ``spatial_dim`` (1=height, 2=width; both for a 2-D mesh by calling with
+    a tuple axis) over the mesh axis; XLA propagates the spatial sharding
+    through every conv/pool, inserting per-layer halo exchanges over ICI.
+    Output is bit-identical to the single-device forward.  The sharded
+    extent must be divisible by the axis size.
     """
     repl = NamedSharding(mesh, P())
-    hsh = NamedSharding(mesh, P(None, axis, None, None))
+    spec = [None, None, None, None]
+    spec[spatial_dim] = axis
+    hsh = NamedSharding(mesh, P(*spec))
 
     def base(params, state, x):
         y, _ = model.apply(params, state, x, train=train)

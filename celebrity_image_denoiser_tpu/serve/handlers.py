@@ -45,6 +45,7 @@ _CKPT_CANDIDATES = {
     "cgan": ("cgan_epoch_500_converted.pth", "cgan"),
     "srgan": ("srgan_epoch_499.pth", "srgan"),
     "esrgan": ("esrgan_epoch_500.pth", "esrgan"),
+    "dncnn": ("dncnn_epoch_499.pth", "dncnn"),  # extension model
 }
 _CGAN_KERAS = "cgan_epoch_500.keras"
 
@@ -77,6 +78,7 @@ class ServeState:
             "cgan": M.CGANTorchGenerator(),
             "srgan": M.SRGANGenerator(scale_factor=MODEL_CFG["srgan"]["scale"]),
             "esrgan": M.ESRGANGenerator(num_residuals=8),
+            "dncnn": M.DnCNN(),  # extension: blind-σ residual denoiser
         }
         self.params: Dict[str, tuple] = {}
         key = prng.key(seed)
@@ -148,6 +150,7 @@ class ServeState:
                     + " (configurable)",
             "srgan": "torch",
             "esrgan": "torch",
+            "dncnn": "torch",
         }
         return {
             "message": "Unified GAN API is running",
@@ -198,11 +201,11 @@ class ServeState:
             padding = get_padding(original_size, divisor, scale)
             use_keras = False
 
-            if model == "esrgan":
-                # raw [0,1], unpadded forward (app.py:387-397)
+            if cfg["normalize"] is None:  # esrgan + dncnn: raw [0,1] domain
+                # unpadded forward (app.py:387-397)
                 x01 = imageio.to_float01(image)[None]
-                y = self._forward("esrgan", self.models["esrgan"],
-                                  *self.params["esrgan"], jnp.asarray(x01))
+                y = self._forward(model, self.models[model],
+                                  *self.params[model], jnp.asarray(x01))
                 y01 = np.clip(np.asarray(y)[0], 0.0, 1.0)
                 x_vis, y_vis = imageio.to_float01(image), y01
             else:
@@ -254,7 +257,7 @@ class ServeState:
             x_pil = Image.fromarray((np.clip(x_vis, 0, 1) * 255).astype(np.uint8))
             y_pil = Image.fromarray((np.clip(y_vis, 0, 1) * 255).astype(np.uint8))
 
-            if model in ("denoise", "cgan", "esrgan"):
+            if model in ("denoise", "cgan", "esrgan", "dncnn"):
                 box = (padding[0], padding[1],
                        padding[0] + original_size[0], padding[1] + original_size[1])
                 x_pil = x_pil.crop(box)

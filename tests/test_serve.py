@@ -65,8 +65,23 @@ def test_root_contract(server):
     with urllib.request.urlopen(server + "/") as r:
         data = json.loads(r.read())
     assert data["message"] == "Unified GAN API is running"
-    assert data["models"] == ["denoise", "cgan", "srgan", "esrgan"]
+    # the reference's four models in its order, plus the dncnn extension
+    assert data["models"][:4] == ["denoise", "cgan", "srgan", "esrgan"]
+    assert "dncnn" in data["models"]
     assert "default_backends" in data
+
+
+def test_dncnn_extension_serves(server):
+    body, ctype = _multipart({"file": ("a.png", "image/png", _png_bytes())})
+    status, data = _post(f"{server}/enhance?model=dncnn&graphs=false",
+                         body, ctype)
+    assert status == 200, data
+    import io as _io
+
+    from PIL import Image
+
+    out = Image.open(_io.BytesIO(base64.b64decode(data["denoised_image_base64"])))
+    assert out.size == (20, 12)
 
 
 @pytest.mark.parametrize("model", ["denoise", "esrgan"])
