@@ -406,28 +406,41 @@ class GANTrainer:
                 "batches": len(vals)}
 
     def test_random_images(self, epoch: int):
-        """Per-epoch visual spot-check: run the held-out test pair through
-        the generator and save a labeled noisy/denoised side-by-side JPEG —
-        the ``test_random_images`` contract (training.py:322-357)."""
+        """Per-epoch visual spot-check on the held-out test pair.  Denoise/
+        SRGAN families render the labeled noisy/denoised side-by-side JPEG
+        (``test_random_images``, training.py:322-357); ESRGAN/cGAN families
+        render the noisy/generated/clean triptych their reference trainers
+        save (esrgan_train.py:71-81, training5Pbar.py:112-128)."""
         if self.test_pair is None:
             logger.info("No test image selected for testing.")
             return None
-        from celebrity_image_denoiser_tpu.viz.side_by_side import combine_test_images
+        from celebrity_image_denoiser_tpu.viz.side_by_side import (
+            combine_test_images,
+            triptych,
+        )
 
-        noisy, _ = self.test_pair
+        noisy, clean = self.test_pair
         noisy_b = noisy[None] if noisy.ndim == 3 else noisy
+        clean0 = clean if clean.ndim == 3 else clean[0]
         fake = self.generate(noisy_b)[0]
         if self.family in ("esrgan", "dncnn"):  # [0,1]-domain families
-            denoised01, noisy01 = fake, noisy_b[0]
+            denoised01, noisy01, clean01 = fake, noisy_b[0], clean0
         else:  # tanh families train in [-1,1]
             denoised01 = fake * 0.5 + 0.5
             noisy01 = noisy_b[0] * 0.5 + 0.5
-        denoised_u8 = np.clip(denoised01 * 255, 0, 255).astype(np.uint8)
-        noisy_u8 = np.clip(noisy01 * 255, 0, 255).astype(np.uint8)
-        combined = combine_test_images(noisy_u8, denoised_u8)
+            clean01 = clean0 * 0.5 + 0.5
         os.makedirs(self.cfg.test_image_dir, exist_ok=True)
-        out_path = os.path.join(self.cfg.test_image_dir, f"testimg_epoch{epoch}.jpg")
-        combined.save(out_path)
+        if self.family in ("esrgan", "cgan"):
+            out_path = os.path.join(self.cfg.test_image_dir,
+                                    f"testimg_epoch{epoch}.png")
+            triptych(noisy01, denoised01, clean01, out_path)
+        else:
+            denoised_u8 = np.clip(denoised01 * 255, 0, 255).astype(np.uint8)
+            noisy_u8 = np.clip(noisy01 * 255, 0, 255).astype(np.uint8)
+            combined = combine_test_images(noisy_u8, denoised_u8)
+            out_path = os.path.join(self.cfg.test_image_dir,
+                                    f"testimg_epoch{epoch}.jpg")
+            combined.save(out_path)
         logger.info("Saved test image: %s", out_path)
         return out_path
 

@@ -37,3 +37,24 @@ def combine_test_images(
     draw.text((output_size[0] + output_size[0] // 4, 5), "Denoised",
               fill=(0, 0, 0), font=font)
     return combined
+
+
+def triptych(noisy: np.ndarray, generated: np.ndarray, clean: np.ndarray,
+             path: str) -> None:
+    """Noisy / generated / clean 3-panel PNG — the per-epoch visual used by
+    the ESRGAN and cGAN trainers (esrgan_train.py:71-81,
+    training5Pbar.py:112-128).  Inputs: float [0,1] HWC."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axs = plt.subplots(1, 3, figsize=(7.5, 2.5))
+    for ax, img, title in zip(axs, (noisy, generated, clean),
+                              ("Noisy", "Generated", "Clean")):
+        ax.imshow(np.clip(img, 0, 1))
+        ax.set_title(title, fontsize=9)
+        ax.axis("off")
+    plt.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
