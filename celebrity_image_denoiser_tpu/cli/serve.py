@@ -12,6 +12,10 @@ def build_parser():
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--weights-dir", default="weights")
     p.add_argument("--framework", default="stdlib", choices=["stdlib", "fastapi"])
+    p.add_argument("--precompile", default=None,
+                   help="comma-separated HxW sizes to precompile at startup "
+                        "(e.g. 256x256,512x512) so first requests skip XLA "
+                        "compile")
     return p
 
 
@@ -25,9 +29,21 @@ def main(argv=None) -> int:
         uvicorn.run(create_fastapi_app(args.weights_dir),
                     host=args.host, port=args.port)
     else:
-        from celebrity_image_denoiser_tpu.serve.app import run_server
+        from celebrity_image_denoiser_tpu.serve.app import make_server
+        from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+        from celebrity_image_denoiser_tpu.utils.logging import get_logger
 
-        run_server(args.host, args.port, weights_dir=args.weights_dir)
+        state = ServeState(weights_dir=args.weights_dir)
+        if args.precompile:
+            sizes = []
+            for tok in args.precompile.split(","):
+                h, w = tok.lower().split("x")
+                sizes.append((int(h), int(w)))
+            state.warmup(tuple(sizes))
+        server = make_server(args.host, args.port, state=state)
+        get_logger("cid_tpu.serve.http").info(
+            "Unified GAN API listening on %s:%d", args.host, args.port)
+        server.serve_forever()
     return 0
 
 

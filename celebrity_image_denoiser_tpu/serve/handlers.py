@@ -142,6 +142,36 @@ class ServeState:
             return tiled(x)
         return self._fns[which](params, state, x)
 
+    def warmup(self, sizes=((256, 256),)) -> None:
+        """Precompile the serving forwards for the given (H, W) input sizes
+        so first real requests skip XLA compilation (~36-61 s per model on
+        the tunneled v5e).  Sizes are taken pre-padding; each model warms at
+        its padded shape."""
+        import time
+
+        for h, w in sizes:
+            for name, model in self.models.items():
+                cfg = MODEL_CFG[name]
+                divisor = cfg["pad_divisor"]
+                if self.bucket_divisor:
+                    divisor = max(divisor, self.bucket_divisor)
+                pl_, pt_, pr_, pb_ = get_padding((w, h), divisor,
+                                                 cfg.get("scale", 1))
+                hh, ww = h + pt_ + pb_, w + pl_ + pr_
+                if cfg["normalize"] is None:
+                    hh, ww = h, w  # esrgan/dncnn run unpadded
+                t0 = time.perf_counter()
+                if name == "cgan":
+                    if self.keras_cgan is not None:
+                        km, kp, ks = self.keras_cgan
+                        x = jnp.zeros((1, hh, ww, 3), jnp.float32)
+                        np.asarray(self._forward("cgan:keras", km, kp, ks, x))
+                else:
+                    x = jnp.zeros((1, hh, ww, 3), jnp.float32)
+                    np.asarray(self._forward(name, model, *self.params[name], x))
+                logger.info("warmed %s at %dx%d (%.1fs)", name, hh, ww,
+                            time.perf_counter() - t0)
+
     # -- info route (GET /, app.py:348-356) ----------------------------------
     def info(self) -> dict:
         backends = {

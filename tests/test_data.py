@@ -108,6 +108,33 @@ def test_tensor_cache_roundtrip(clean_tree, tmp_path):
     assert 0.0 <= a.min() and a.max() <= 1.0  # esrgan [0,1] convention
 
 
+def test_celeba_prepare(tmp_path, rng_np):
+    from celebrity_image_denoiser_tpu.data import celeba
+
+    raw = tmp_path / "raw" / "personA"
+    raw.mkdir(parents=True)
+    for i in range(3):
+        imageio.imwrite(str(raw / f"r{i}.png"),
+                        rng_np.integers(0, 256, (218, 178, 3), dtype=np.uint8))
+    out = str(tmp_path / "Clean_dataset")
+    n = celeba.prepare_clean_dataset(str(tmp_path / "raw"), out,
+                                     image_size=(64, 64))
+    assert n == 3
+    files = imageio.list_images(out)
+    assert len(files) == 3 and "personA" in files[0]
+    assert imageio.imread_rgb(files[0]).shape == (64, 64, 3)
+
+
+def test_celeba_center_crop_square():
+    from celebrity_image_denoiser_tpu.data.celeba import center_face_crop
+
+    img = np.zeros((218, 178, 3), np.uint8)
+    img[20:198, :, 0] = 255  # center band
+    crop = center_face_crop(img)
+    assert crop.shape == (178, 178, 3)
+    assert crop[:, :, 0].mean() == 255  # crop took rows 20..198
+
+
 def test_train_val_test_split_fractions():
     items = list(range(100))
     tr, va, te = caching.train_val_test_split(items, val=0.1, test=0.1, seed=42)

@@ -151,6 +151,19 @@ def test_corrupt_image_500(server):
     assert data["detail"] == "Image enhancement failed"
 
 
+def test_warmup_precompiles(server):
+    """ServeState.warmup runs all model forwards without error and requests
+    after warm-up still satisfy the contract."""
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    st = ServeState(weights_dir="/nonexistent")
+    st.warmup(((32, 32),))
+    body, ctype = _multipart({"file": ("a.png", "image/png", _png_bytes(32, 32))})
+    status, data = _post(f"{server}/enhance?model=denoise&graphs=false",
+                         body, ctype)
+    assert status == 200
+
+
 def test_concurrent_requests(server):
     """ThreadingHTTPServer + jitted forwards must handle parallel clients
     (jax dispatch is thread-safe; the handler's jit cache race is benign)."""
