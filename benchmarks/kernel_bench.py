@@ -14,9 +14,16 @@ intentionally XLA-only.  See memory note axon-tpu-quirks / kernel_notes.md.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# runnable straight from a source checkout
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_REPO, "celebrity_image_denoiser_tpu")):
+    sys.path.insert(0, _REPO)
 
 
 def _fence(y):

@@ -12,10 +12,16 @@ from __future__ import annotations
 import io
 import json
 import os
+import sys
 import tempfile
 import time
 
 import numpy as np
+
+# runnable straight from a source checkout (python benchmarks/pipeline_bench.py)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_REPO, "celebrity_image_denoiser_tpu")):
+    sys.path.insert(0, _REPO)
 
 
 def make_jpegs(n: int, hw=(178, 218)) -> list:
