@@ -19,31 +19,36 @@ def build_parser():
     return p
 
 
+def _parse_sizes(parser, spec):
+    sizes = []
+    for tok in spec.split(","):
+        tok = tok.strip().lower()
+        if not tok:
+            continue
+        parts = tok.split("x")
+        if len(parts) != 2 or not all(p.isdigit() for p in parts):
+            parser.error(f"--precompile expects HxW sizes like 256x256, "
+                         f"got {tok!r}")
+        sizes.append((int(parts[0]), int(parts[1])))
+    return sizes
+
+
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    sizes = _parse_sizes(parser, args.precompile) if args.precompile else None
     if args.framework == "fastapi":
         import uvicorn
 
         from celebrity_image_denoiser_tpu.serve.app import create_fastapi_app
 
-        uvicorn.run(create_fastapi_app(args.weights_dir),
+        uvicorn.run(create_fastapi_app(args.weights_dir, precompile=sizes),
                     host=args.host, port=args.port)
     else:
-        from celebrity_image_denoiser_tpu.serve.app import make_server
-        from celebrity_image_denoiser_tpu.serve.handlers import ServeState
-        from celebrity_image_denoiser_tpu.utils.logging import get_logger
+        from celebrity_image_denoiser_tpu.serve.app import run_server
 
-        state = ServeState(weights_dir=args.weights_dir)
-        if args.precompile:
-            sizes = []
-            for tok in args.precompile.split(","):
-                h, w = tok.lower().split("x")
-                sizes.append((int(h), int(w)))
-            state.warmup(tuple(sizes))
-        server = make_server(args.host, args.port, state=state)
-        get_logger("cid_tpu.serve.http").info(
-            "Unified GAN API listening on %s:%d", args.host, args.port)
-        server.serve_forever()
+        run_server(args.host, args.port, weights_dir=args.weights_dir,
+                   precompile=sizes)
     return 0
 
 

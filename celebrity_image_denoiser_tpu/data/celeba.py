@@ -42,8 +42,10 @@ def prepare_clean_dataset(
     (center face crop + bicubic resize).  ``person_from_parent`` keeps the
     immediate parent directory as the identity folder; flat inputs all land
     under ``person0``.  Returns the number of images written."""
+    from PIL import Image
+
     paths = imageio.list_images(raw_dir)
-    if limit:
+    if limit is not None:
         paths = paths[:limit]
     count = 0
     size = (image_size[1], image_size[0])
@@ -58,12 +60,16 @@ def prepare_clean_dataset(
                   if person_from_parent else "person0")
         if os.path.abspath(os.path.dirname(p)) == os.path.abspath(raw_dir):
             person = "person0"
-        dst = os.path.join(out_dir, person,
-                           os.path.splitext(os.path.basename(p))[0] + ".png")
+        stem = os.path.splitext(os.path.basename(p))[0]
+        dst = os.path.join(out_dir, person, f"{stem}.png")
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        from PIL import Image
-
-        Image.fromarray(img).resize(size, Image.Resampling.BICUBIC).save(dst)
+        k = 1
+        while os.path.exists(dst):  # face.jpg + face.png must not collide
+            dst = os.path.join(out_dir, person, f"{stem}_{k}.png")
+            k += 1
+        resized = np.asarray(
+            Image.fromarray(img).resize(size, Image.Resampling.BICUBIC))
+        imageio.imwrite(dst, resized)
         count += 1
     logger.info("prepared %d face crops under %s", count, out_dir)
     return count

@@ -129,6 +129,9 @@ def spatial_sharded_apply(
     Output is bit-identical to the single-device forward.  The sharded
     extent must be divisible by the axis size.
     """
+    if spatial_dim not in (1, 2):
+        raise ValueError(f"spatial_dim must be 1 (height) or 2 (width), "
+                         f"got {spatial_dim}")
     repl = NamedSharding(mesh, P())
     spec = [None, None, None, None]
     spec[spatial_dim] = axis

@@ -125,19 +125,28 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
 
 
 def run_server(host: str = "0.0.0.0", port: int = 8000,
-               weights_dir: str = "weights") -> None:
-    server = make_server(host, port, weights_dir=weights_dir)
+               weights_dir: str = "weights",
+               state: Optional[ServeState] = None,
+               precompile=None) -> None:
+    state = state or ServeState(weights_dir=weights_dir)
+    if precompile:
+        state.warmup(tuple(precompile))
+    server = make_server(host, port, state=state)
     logger.info("Unified GAN API listening on %s:%d", host, port)
     server.serve_forever()
 
 
-def create_fastapi_app(weights_dir: str = "weights"):
+def create_fastapi_app(weights_dir: str = "weights",
+                       state: Optional[ServeState] = None,
+                       precompile=None):
     """FastAPI variant (optional dependency)."""
     from fastapi import FastAPI, File, Form, HTTPException, UploadFile
     from fastapi.middleware.cors import CORSMiddleware
     from fastapi.responses import HTMLResponse
 
-    st = ServeState(weights_dir=weights_dir)
+    st = state or ServeState(weights_dir=weights_dir)
+    if precompile:
+        st.warmup(tuple(precompile))
     app = FastAPI(title="Unified GAN API (Denoise / cGAN / SRGAN / ESRGAN)")
     app.add_middleware(CORSMiddleware, allow_origins=["*"],
                        allow_credentials=True, allow_methods=["*"],

@@ -162,10 +162,12 @@ class ServeState:
                     hh, ww = h, w  # esrgan/dncnn run unpadded
                 t0 = time.perf_counter()
                 if name == "cgan":
-                    if self.keras_cgan is not None:
-                        km, kp, ks = self.keras_cgan
-                        x = jnp.zeros((1, hh, ww, 3), jnp.float32)
-                        np.asarray(self._forward("cgan:keras", km, kp, ks, x))
+                    if self.keras_cgan is None:
+                        continue  # torch cgan generates from a latent; its
+                        # shape-independent path warms on first label request
+                    km, kp, ks = self.keras_cgan
+                    x = jnp.zeros((1, hh, ww, 3), jnp.float32)
+                    np.asarray(self._forward("cgan:keras", km, kp, ks, x))
                 else:
                     x = jnp.zeros((1, hh, ww, 3), jnp.float32)
                     np.asarray(self._forward(name, model, *self.params[name], x))
@@ -287,7 +289,12 @@ class ServeState:
             x_pil = Image.fromarray((np.clip(x_vis, 0, 1) * 255).astype(np.uint8))
             y_pil = Image.fromarray((np.clip(y_vis, 0, 1) * 255).astype(np.uint8))
 
-            if model in ("denoise", "cgan", "esrgan", "dncnn"):
+            if model == "dncnn":
+                # extension model (no reference quirk to preserve): the
+                # forward ran unpadded, so the output is already exactly the
+                # original size — no crop
+                pass
+            elif model in ("denoise", "cgan", "esrgan"):
                 box = (padding[0], padding[1],
                        padding[0] + original_size[0], padding[1] + original_size[1])
                 x_pil = x_pil.crop(box)

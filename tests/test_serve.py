@@ -151,17 +151,17 @@ def test_corrupt_image_500(server):
     assert data["detail"] == "Image enhancement failed"
 
 
-def test_warmup_precompiles(server):
-    """ServeState.warmup runs all model forwards without error and requests
-    after warm-up still satisfy the contract."""
+def test_warmup_precompiles():
+    """ServeState.warmup runs all model forwards without error and the SAME
+    warmed state then serves a matching-size request."""
     from celebrity_image_denoiser_tpu.serve.handlers import ServeState
 
     st = ServeState(weights_dir="/nonexistent")
     st.warmup(((32, 32),))
-    body, ctype = _multipart({"file": ("a.png", "image/png", _png_bytes(32, 32))})
-    status, data = _post(f"{server}/enhance?model=denoise&graphs=false",
-                         body, ctype)
-    assert status == 200
+    result = st.enhance("denoise", _png_bytes(32, 32), "image/png",
+                        include_graph=False)
+    assert set(result) == {"denoised_image_base64", "noise_graph_base64",
+                           "backend"}
 
 
 def test_concurrent_requests(server):
