@@ -10,7 +10,9 @@ def build_parser():
     p = argparse.ArgumentParser(description="Serve the unified GAN API")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
-    p.add_argument("--weights-dir", default="weights")
+    p.add_argument("--weights-dir", default=None,
+                   help="default: ./weights if present, else the repo's "
+                        "committed weights/ (serve.handlers.default_weights_dir)")
     p.add_argument("--framework", default="stdlib", choices=["stdlib", "fastapi"])
     p.add_argument("--precompile", default=None,
                    help="comma-separated HxW sizes to precompile at startup "

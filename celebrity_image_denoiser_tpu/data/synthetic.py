@@ -1,0 +1,72 @@
+"""On-device synthetic clean-image generator (jit/vmap/scan friendly).
+
+The reference trains on a CelebA-style photo corpus read from disk
+(trainingcode/denoise_gan_code/training.py:113-140).  This container has no
+image corpus and a ~25 MB/s host->device link, so the shipped serving
+checkpoints (weights/) are trained on images synthesized *on the TPU* from a
+PRNG key: smooth low-frequency color fields, antialiased geometric shapes
+(sharp edges), mid-frequency texture and a radial vignette — the statistics a
+denoiser needs (flat regions to smooth, edges to preserve).  Everything here
+is pure jax with static shapes, usable inside jit/scan so training never
+touches the host.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _shape_layer(key, size: int):
+    """One antialiased random shape: axis-aligned rectangle or ellipse.
+
+    Returns (mask [H,W,1] in [0,1], color [3]).  The mask edge is a ~1.5 px
+    sigmoid over the signed distance so downstream resizes don't alias.
+    """
+    k_kind, k_pos, k_dim, k_col = jax.random.split(key, 4)
+    yy, xx = jnp.mgrid[0:size, 0:size].astype(jnp.float32)
+    cy, cx = jax.random.uniform(k_pos, (2,), minval=0.15 * size,
+                                maxval=0.85 * size)
+    hh, ww = jax.random.uniform(k_dim, (2,), minval=0.06 * size,
+                                maxval=0.30 * size)
+    # signed distances (negative inside) for both candidate shapes
+    d_rect = jnp.maximum(jnp.abs(yy - cy) - hh, jnp.abs(xx - cx) - ww)
+    d_ell = (jnp.sqrt(((yy - cy) / hh) ** 2 + ((xx - cx) / ww) ** 2) - 1.0) \
+        * jnp.minimum(hh, ww)
+    use_rect = jax.random.bernoulli(k_kind)
+    d = jnp.where(use_rect, d_rect, d_ell)
+    mask = jax.nn.sigmoid(-d / 1.5)[..., None]
+    color = jax.random.uniform(k_col, (3,))
+    return mask, color
+
+
+def _one_image(key, size: int, num_shapes: int):
+    k_base, k_mid, k_shapes, k_vig = jax.random.split(key, 4)
+    # smooth low-frequency color field (blobby "skin/background" regions)
+    base = jax.image.resize(
+        jax.random.uniform(k_base, (6, 6, 3)), (size, size, 3), "cubic")
+    # mid-frequency texture, small amplitude
+    mid = jax.image.resize(
+        jax.random.uniform(k_mid, (24, 24, 3), minval=-0.12, maxval=0.12),
+        (size, size, 3), "linear")
+    img = base + mid
+
+    def paint(img, k):
+        mask, color = _shape_layer(k, size)
+        return img * (1.0 - mask) + color * mask, None
+
+    img, _ = jax.lax.scan(paint, img, jax.random.split(k_shapes, num_shapes))
+
+    # radial vignette (portrait-photo prior), random strength
+    yy, xx = jnp.mgrid[0:size, 0:size].astype(jnp.float32)
+    r2 = ((yy / size - 0.5) ** 2 + (xx / size - 0.5) ** 2) * 2.0
+    strength = jax.random.uniform(k_vig, (), minval=0.0, maxval=0.35)
+    img = img * (1.0 - strength * r2)[..., None]
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def synth_clean_batch(key: jax.Array, n: int, size: int = 128,
+                      num_shapes: int = 4) -> jax.Array:
+    """[n, size, size, 3] float32 clean images in [0, 1], fully on device."""
+    keys = jax.random.split(key, n)
+    return jax.vmap(lambda k: _one_image(k, size, num_shapes))(keys)

@@ -25,7 +25,11 @@ import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
-from celebrity_image_denoiser_tpu.serve.handlers import EnhanceError, ServeState
+from celebrity_image_denoiser_tpu.serve.handlers import (
+    EnhanceError,
+    ServeState,
+    run_enhance,
+)
 from celebrity_image_denoiser_tpu.serve.multipart import parse_multipart
 from celebrity_image_denoiser_tpu.utils.logging import get_logger
 
@@ -47,7 +51,7 @@ def _ui_html() -> str:
 
 def make_server(host: str = "0.0.0.0", port: int = 8000,
                 state: Optional[ServeState] = None,
-                weights_dir: str = "weights") -> ThreadingHTTPServer:
+                weights_dir: Optional[str] = None) -> ThreadingHTTPServer:
     st = state or ServeState(weights_dir=weights_dir)
 
     class Handler(BaseHTTPRequestHandler):
@@ -85,8 +89,6 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
             try:
                 qs = urllib.parse.parse_qs(parsed.query)
                 model = (qs.get("model", [""])[0] or "").strip()
-                cgan_backend = qs.get("cgan_backend", ["auto"])[0]
-                include_graph = qs.get("graphs", ["true"])[0].lower() != "false"
                 length = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(length)
                 ctype = self.headers.get("Content-Type", "")
@@ -96,21 +98,17 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
                 if "file" not in parts:
                     raise EnhanceError(400, "Uploaded file must be an image")
                 fpart = parts["file"]
-                label = None
-                if "label" in parts:
-                    try:
-                        label = int(parts["label"].data.decode().strip())
-                    except ValueError:
-                        raise EnhanceError(400, "label must be an integer")
                 cond = parts.get("cond_file")
-                result = st.enhance(
+                result = run_enhance(
+                    st,
                     model=model,
                     file_bytes=fpart.data,
                     content_type=fpart.content_type or "",
-                    cgan_backend=cgan_backend,
-                    label=label,
+                    cgan_backend=qs.get("cgan_backend", ["auto"])[0],
+                    label_raw=(parts["label"].data.decode()
+                               if "label" in parts else None),
                     cond_bytes=cond.data if cond else None,
-                    include_graph=include_graph,
+                    graphs_raw=qs.get("graphs", ["true"])[0],
                 )
                 self._send(200, result)
             except EnhanceError as e:
@@ -125,7 +123,7 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
 
 
 def run_server(host: str = "0.0.0.0", port: int = 8000,
-               weights_dir: str = "weights",
+               weights_dir: Optional[str] = None,
                state: Optional[ServeState] = None,
                precompile=None) -> None:
     state = state or ServeState(weights_dir=weights_dir)
@@ -136,7 +134,7 @@ def run_server(host: str = "0.0.0.0", port: int = 8000,
     server.serve_forever()
 
 
-def create_fastapi_app(weights_dir: str = "weights",
+def create_fastapi_app(weights_dir: Optional[str] = None,
                        state: Optional[ServeState] = None,
                        precompile=None):
     """FastAPI variant (optional dependency)."""
@@ -162,17 +160,21 @@ def create_fastapi_app(weights_dir: str = "weights",
 
     @app.post("/enhance")
     async def enhance(model: str, file: UploadFile = File(...),
-                      cgan_backend: str = "auto",
-                      label: Optional[int] = Form(default=None),
+                      cgan_backend: str = "auto", graphs: str = "true",
+                      label: Optional[str] = Form(default=None),
                       cond_file: Optional[UploadFile] = File(default=None)):
+        # label arrives as a raw string so a bad value 400s exactly like the
+        # stdlib server (FastAPI's int coercion would 422 instead)
         try:
-            return st.enhance(
+            return run_enhance(
+                st,
                 model=model,
                 file_bytes=await file.read(),
                 content_type=file.content_type or "",
                 cgan_backend=cgan_backend,
-                label=label,
+                label_raw=label,
                 cond_bytes=await cond_file.read() if cond_file else None,
+                graphs_raw=graphs,
             )
         except EnhanceError as e:
             raise HTTPException(status_code=e.status, detail=e.detail)

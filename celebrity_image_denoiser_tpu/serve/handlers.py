@@ -57,11 +57,44 @@ class EnhanceError(Exception):
         self.detail = detail
 
 
+def default_weights_dir() -> str:
+    """./weights if the cwd has one, else the repo-root weights/ shipped
+    with the package — serving finds the committed checkpoints from any
+    cwd, like the reference resolves weights/ relative to backend/app.py.
+    """
+    if os.path.isdir("weights"):
+        return "weights"
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cand = os.path.join(root, "weights")
+    return cand if os.path.isdir(cand) else "weights"
+
+
+def run_enhance(st: "ServeState", *, model: str, file_bytes: bytes,
+                content_type: str, cgan_backend: str = "auto",
+                label_raw=None, cond_bytes: Optional[bytes] = None,
+                graphs_raw="true"):
+    """Shared request semantics for every server front end (stdlib +
+    FastAPI) — label parsing (400, not framework-specific 422) and the
+    ``graphs=false`` figure opt-out behave identically on both."""
+    label = None
+    if label_raw not in (None, ""):
+        try:
+            label = int(str(label_raw).strip())
+        except ValueError:
+            raise EnhanceError(400, "label must be an integer")
+    include_graph = str(graphs_raw).strip().lower() != "false"
+    return st.enhance(
+        model=model, file_bytes=file_bytes, content_type=content_type,
+        cgan_backend=cgan_backend, label=label, cond_bytes=cond_bytes,
+        include_graph=include_graph)
+
+
 class ServeState:
     """Loaded models + jitted forwards.  Big inputs route through exact
     single-device tiling automatically (tile_rows threshold)."""
 
-    def __init__(self, weights_dir: str = "weights", seed: int = 0,
+    def __init__(self, weights_dir: Optional[str] = None, seed: int = 0,
                  tile_threshold_rows: int = 2048, use_tiling: bool = True,
                  bucket_divisor: Optional[int] = None):
         """``bucket_divisor`` (e.g. 64): round pad-to sizes up to this
@@ -69,7 +102,7 @@ class ServeState:
         programs instead of recompiling per shape.  Off by default — the
         extra zero border can shift values within the receptive-field band
         relative to the reference's exact divisor-4 padding."""
-        self.weights_dir = weights_dir
+        self.weights_dir = weights_dir or default_weights_dir()
         self.tile_threshold_rows = tile_threshold_rows
         self.use_tiling = use_tiling
         self.bucket_divisor = bucket_divisor
@@ -100,12 +133,14 @@ class ServeState:
                     from celebrity_image_denoiser_tpu.ckpt import load_pth_safely
 
                     self.params[name] = load_pth_safely(self.models[name], path, p, s)
+                    logger.info("[%s] loaded weights from %s", name, path)
                 elif os.path.isdir(npz_dir):
                     from celebrity_image_denoiser_tpu.ckpt import load_checkpoint
 
                     sections, _ = load_checkpoint(npz_dir)
                     self.params[name] = (sections.get("generator", p),
                                          sections.get("generator_state", s) or s)
+                    logger.info("[%s] loaded weights from %s", name, npz_dir)
                 else:
                     raise FileNotFoundError(path)
             except Exception as e:

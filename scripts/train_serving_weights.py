@@ -1,0 +1,283 @@
+"""Train the shipped serving checkpoints (weights/) on the TPU.
+
+The reference ships pretrained weights and loads them at server import
+(backend/app.py:221-225,319-345).  This container has no image corpus and no
+egress, so the committed checkpoints are trained here on images synthesized
+*on device* (data/synthetic.py) with the reference noise models injected on
+device too — the host never ships a single training image over the ~25 MB/s
+axon tunnel.
+
+Each family trains with the framework's own jitted GAN step
+(train/gan_trainer.py::make_train_step), wrapped in a lax.scan so one device
+call runs ``--chunk`` optimizer steps back-to-back (the per-call tunnel
+round-trip would otherwise dominate).
+
+    python scripts/train_serving_weights.py --family dncnn --steps 2000
+    python scripts/train_serving_weights.py --family perceptual --steps 1500
+    python scripts/train_serving_weights.py --family srgan \
+        --perceptual weights/perceptual
+
+``--family perceptual`` trains the VGG16-features[:16] tower (models/vgg.py)
+as the encoder of a denoising autoencoder over the same synthetic corpus:
+features must retain clean content while discarding distortions — the
+property SRGAN's content loss (sr_ganTrainGNew.py:83-93) and the LPIPS-style
+metric need.  It is committed as ``weights/perceptual`` and clearly labeled
+synthetic-DAE, not ImageNet VGG.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_REPO, "celebrity_image_denoiser_tpu")):
+    sys.path.insert(0, _REPO)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from celebrity_image_denoiser_tpu import metrics as MX  # noqa: E402
+from celebrity_image_denoiser_tpu import models as M  # noqa: E402
+from celebrity_image_denoiser_tpu import nn  # noqa: E402
+from celebrity_image_denoiser_tpu.ckpt import checkpoint as ckpt_lib  # noqa: E402
+from celebrity_image_denoiser_tpu.core import prng  # noqa: E402
+from celebrity_image_denoiser_tpu.core.config import FAMILY_NOISE_VARIANT  # noqa: E402
+from celebrity_image_denoiser_tpu.data import noise as noise_lib  # noqa: E402
+from celebrity_image_denoiser_tpu.data.synthetic import synth_clean_batch  # noqa: E402
+from celebrity_image_denoiser_tpu.train import optim  # noqa: E402
+from celebrity_image_denoiser_tpu.train.gan_trainer import make_train_step  # noqa: E402
+
+
+def build_models(family: str, size: int):
+    if family == "denoise":
+        return M.DenoiseGenerator(), M.DenoiseDiscriminator()
+    if family == "dncnn":
+        return M.DnCNN(), None
+    if family == "srgan":
+        return M.SRGANGenerator(scale_factor=4), M.SRGANDiscriminator()
+    if family == "esrgan":
+        return (M.ESRGANGenerator(num_residuals=8),
+                M.ESRGANDiscriminator(input_hw=(size, size)))
+    if family == "cgan":
+        raise ValueError(
+            "the served cGAN is the shipped Keras checkpoint "
+            "(weights/cgan_epoch_500.keras), copied not trained; the torch "
+            "arch is a label->image fallback that cannot train as a denoiser "
+            "(models/cgan_torch.py image-cond path reproduces the "
+            "reference's channel-mismatch crash)")
+    raise ValueError(family)
+
+
+def load_perceptual(path: str):
+    from celebrity_image_denoiser_tpu.train.losses import make_vgg_perceptual
+
+    vgg = M.VGGFeatures()
+    vp, vs = vgg.init(prng.key(99))
+    if path:
+        sections, _ = ckpt_lib.load_checkpoint(path)
+        vp = sections.get("vgg", vp)
+        vs = sections.get("vgg_state", vs) or vs
+        print(f"perceptual: loaded trained tower from {path}")
+    else:
+        print("perceptual: WARNING random-init VGG features")
+    return make_vgg_perceptual(vgg, vp, vs)
+
+
+def train_family(args) -> None:
+    family = args.family
+    size, batch = args.size, args.batch
+    gen, disc = build_models(family, size)
+    perceptual = (load_perceptual(args.perceptual)
+                  if family == "srgan" else None)
+    init_fn, step_fn = make_train_step(
+        gen, disc, family=family,
+        perceptual=perceptual,
+        on_the_fly_noise=True,
+        noise_variant=FAMILY_NOISE_VARIANT.get(family, 1),
+        donate=False,
+        sr_scale=4 if family == "srgan" else 1,
+    )
+
+    def chunk(carry, key, lr):
+        def body(c, k):
+            kd, kn = jax.random.split(k)
+            clean = synth_clean_batch(kd, batch, size) * 2.0 - 1.0
+            c, m = step_fn(c, clean, clean, kn, lr, lr)
+            return c, m
+
+        return jax.lax.scan(body, carry, jax.random.split(key, args.chunk))
+
+    chunk = jax.jit(chunk, donate_argnums=(0,))
+    carry = init_fn(prng.key(args.seed))
+    n_chunks = max(1, args.steps // args.chunk)
+    t_start = time.perf_counter()
+    for i in range(n_chunks):
+        # simple decay: full lr for 60%, /2 to 85%, /4 after
+        frac = i / n_chunks
+        lr = args.lr * (1.0 if frac < 0.6 else 0.5 if frac < 0.85 else 0.25)
+        t0 = time.perf_counter()
+        carry, m = chunk(carry, prng.key(1000 + i), jnp.float32(lr))
+        psnr = float(np.asarray(jax.device_get(m["psnr"][-1])))  # fences
+        dt = time.perf_counter() - t0
+        print(f"[{family}] chunk {i + 1}/{n_chunks} "
+              f"steps {(i + 1) * args.chunk}  psnr {psnr:.2f}  "
+              f"g {float(np.asarray(m['g_loss'][-1])):.4f}  "
+              f"{args.chunk * batch / dt:.0f} img/s", flush=True)
+
+    # ---- held-out check: does the generator beat its input? ----------------
+    report = evaluate(family, gen, carry[0], carry[1], size)
+    print(f"[{family}] held-out: {report}")
+    out = os.path.join(args.out, family)
+    ckpt_lib.save_checkpoint(
+        out,
+        {"generator": carry[0], "generator_state": carry[1]},
+        meta={"family": family, "steps": n_chunks * args.chunk,
+              "batch": batch, "size": size, "lr": args.lr,
+              "data": "synthetic-v1 (data/synthetic.py), on-device",
+              **report},
+    )
+    ckpt_lib.wait_for_saves()
+    print(f"[{family}] saved {out}  "
+          f"({time.perf_counter() - t_start:.0f}s total)")
+
+
+def evaluate(family, gen, g_params, g_state, size, n=16, seed=77):
+    """PSNR of generator output vs its noisy input, on fresh synthetic data."""
+    k1, k2 = jax.random.split(prng.key(seed))
+    clean01 = synth_clean_batch(k1, n, size)
+    if family == "dncnn":
+        noisy01 = noise_lib.blind_gaussian_batch(k2, clean01)
+    else:
+        noisy01 = noise_lib.random_noise_batch(
+            k2, clean01, variant=FAMILY_NOISE_VARIANT.get(family, 1))
+
+    @jax.jit
+    def fwd(p, s, x):
+        y, _ = gen.apply(p, s, x, train=False)
+        return y
+
+    if family in ("esrgan", "dncnn"):
+        out01 = jnp.clip(fwd(g_params, g_state, noisy01), 0, 1)
+        base01 = noisy01
+    elif family == "srgan":
+        nb, h, w, c = noisy01.shape
+        lr01 = jax.image.resize(noisy01, (nb, h // 4, w // 4, c), "bicubic")
+        out01 = jnp.clip(fwd(g_params, g_state, lr01 * 2 - 1) * 0.5 + 0.5, 0, 1)
+        base01 = jnp.clip(jax.image.resize(lr01, noisy01.shape, "bicubic"), 0, 1)
+    else:
+        out01 = jnp.clip(fwd(g_params, g_state, noisy01 * 2 - 1) * 0.5 + 0.5, 0, 1)
+        base01 = noisy01
+    p_out = float(jnp.mean(MX.psnr(out01, clean01, data_range=1.0)))
+    p_in = float(jnp.mean(MX.psnr(base01, clean01, data_range=1.0)))
+    return {"psnr_out": round(p_out, 3), "psnr_in": round(p_in, 3),
+            "gain_db": round(p_out - p_in, 3)}
+
+
+# ---- perceptual tower: denoising autoencoder over the VGG features ---------
+class _Decoder(nn.Module):
+    """256-ch /4 features -> RGB; resize-conv upsampling (no checkerboard)."""
+
+    def __init__(self):
+        super().__init__()
+        self.add("c1", nn.Conv2d(256, 128, 3, padding=1))
+        self.add("c2", nn.Conv2d(128, 64, 3, padding=1))
+        self.add("c3", nn.Conv2d(64, 3, 3, padding=1))
+        self.add("act", nn.ReLU())
+
+    def forward(self, params, state, x, *, train: bool = False):
+        ns = {}
+        n, h, w, _ = x.shape
+        x = self.call("act", params, state, ns,
+                      self.call("c1", params, state, ns, x, train=train))
+        x = jax.image.resize(x, (n, h * 2, w * 2, x.shape[-1]), "nearest")
+        x = self.call("act", params, state, ns,
+                      self.call("c2", params, state, ns, x, train=train))
+        x = jax.image.resize(x, (n, h * 4, w * 4, x.shape[-1]), "nearest")
+        return self.call("c3", params, state, ns, x, train=train), ns
+
+
+def train_perceptual(args) -> None:
+    size, batch = args.size, args.batch
+    vgg, dec = M.VGGFeatures(), _Decoder()
+    vp, vs = vgg.init(prng.key(args.seed))
+    dp, ds = dec.init(prng.key(args.seed + 1))
+    adam_init, adam_update = optim.adam()
+    opt = adam_init({"vgg": vp, "dec": dp})
+
+    def loss_fn(params, key, variant):
+        kd, kn = jax.random.split(key)
+        clean01 = synth_clean_batch(kd, batch, size)
+        noisy01 = noise_lib.random_noise_batch(kn, clean01, variant=variant)
+        feats, _ = vgg.apply(params["vgg"], vs, noisy01)
+        recon, _ = dec.apply(params["dec"], ds, feats)
+        return jnp.mean((recon - clean01) ** 2)
+
+    def chunk(params, opt, key, lr, variant):
+        def body(c, k):
+            params, opt = c
+            loss, grads = jax.value_and_grad(loss_fn)(params, k, variant)
+            params, opt = adam_update(grads, opt, params, lr)
+            return (params, opt), loss
+
+        (params, opt), losses = jax.lax.scan(
+            body, (params, opt), jax.random.split(key, args.chunk))
+        return params, opt, losses
+
+    # noise variant branches at the Python level (the per-type noise fns are
+    # dict-dispatched) -> static arg, one compile per variant, cycled per chunk
+    chunk = jax.jit(chunk, donate_argnums=(0, 1), static_argnums=(4,))
+    params = {"vgg": vp, "dec": dp}
+    n_chunks = max(1, args.steps // args.chunk)
+    for i in range(n_chunks):
+        lr = args.lr * (1.0 if i / n_chunks < 0.7 else 0.3)
+        t0 = time.perf_counter()
+        params, opt, losses = chunk(params, opt, prng.key(2000 + i),
+                                    jnp.float32(lr), 1 + i % 3)
+        last = float(np.asarray(jax.device_get(losses[-1])))
+        print(f"[perceptual] chunk {i + 1}/{n_chunks}  mse {last:.5f}  "
+              f"{args.chunk * batch / (time.perf_counter() - t0):.0f} img/s",
+              flush=True)
+
+    # sanity: trained features should separate noisy-vs-clean far more than
+    # a same-image control, and the DAE should reconstruct
+    out = os.path.join(args.out, "perceptual")
+    ckpt_lib.save_checkpoint(
+        out, {"vgg": params["vgg"], "vgg_state": vs},
+        meta={"kind": "synthetic-DAE VGG16-features[:16] tower",
+              "steps": n_chunks * args.chunk, "final_mse": last,
+              "data": "synthetic-v1, distortions v1-v3"},
+    )
+    ckpt_lib.wait_for_saves()
+    print(f"[perceptual] saved {out}")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", required=True,
+                    choices=["denoise", "dncnn", "srgan", "esrgan",
+                             "perceptual"])
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--chunk", type=int, default=50,
+                    help="optimizer steps per device call (lax.scan length)")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=os.path.join(_REPO, "weights"))
+    ap.add_argument("--perceptual", default=None,
+                    help="trained perceptual tower checkpoint dir (srgan)")
+    args = ap.parse_args(argv)
+    if args.family == "perceptual":
+        train_perceptual(args)
+    else:
+        train_family(args)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
