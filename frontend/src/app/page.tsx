@@ -13,7 +13,10 @@ import { enhance, MODELS, type ModelName } from "@/lib/api";
 
 export default function HomePage() {
   const [file, setFile] = useState<File | null>(null);
-  const [condFile] = useState<File | undefined>(undefined);
+  // cGAN conditioning: optional condition image + class label
+  // (reference page.tsx appends label "5" and an optional cond_file)
+  const [condFile, setCondFile] = useState<File | undefined>(undefined);
+  const [label, setLabel] = useState(5);
   const [active, setActive] = useState<ModelName>("denoise");
   const [busy, setBusy] = useState(false);
   const [cards, setCards] = useState<Record<ModelName, CardState>>(
@@ -33,7 +36,7 @@ export default function HomePage() {
       if (!file) return;
       setCard(m, { kind: "running" });
       try {
-        const r = await enhance(m, file, { label: 5, condFile });
+        const r = await enhance(m, file, { label, condFile });
         setCard(m, { kind: "done", ...r });
       } catch (err) {
         setCard(m, {
@@ -42,7 +45,7 @@ export default function HomePage() {
         });
       }
     },
-    [file, condFile, setCard],
+    [file, condFile, label, setCard],
   );
 
   const runAll = useCallback(async () => {
@@ -91,6 +94,39 @@ export default function HomePage() {
           </button>
         ))}
       </div>
+
+      {active === "cgan" && (
+        <div className="mt-4 flex flex-wrap items-center gap-4 rounded-lg border border-slate-800 bg-slate-900/60 p-4 text-sm">
+          <label className="flex items-center gap-2">
+            <span className="text-slate-400">Class label</span>
+            <input
+              type="number"
+              min={0}
+              max={9}
+              value={label}
+              onChange={(e) => setLabel(Number(e.target.value))}
+              className="w-16 rounded border border-slate-700 bg-slate-950 px-2 py-1"
+            />
+          </label>
+          <label className="flex items-center gap-2">
+            <span className="text-slate-400">Condition image (optional)</span>
+            <input
+              type="file"
+              accept="image/*"
+              onChange={(e) => setCondFile(e.target.files?.[0] ?? undefined)}
+              className="text-slate-300 file:mr-2 file:rounded file:border-0 file:bg-slate-800 file:px-3 file:py-1 file:text-slate-200"
+            />
+          </label>
+          {condFile && (
+            <button
+              onClick={() => setCondFile(undefined)}
+              className="rounded border border-slate-700 px-2 py-1 text-xs text-slate-400"
+            >
+              clear
+            </button>
+          )}
+        </div>
+      )}
 
       <div className="mt-4 flex gap-3">
         <button

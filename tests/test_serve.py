@@ -373,3 +373,41 @@ def test_shipped_weights_actually_denoise(shipped_state, model):
         io.BytesIO(base64.b64decode(result["denoised_image_base64"]))))
     gain = _psnr_u8(out, clean) - _psnr_u8(noisy, clean)
     assert gain > 1.0, f"{model}: shipped weights gain only {gain:.2f} dB"
+
+
+def test_static_ui_cgan_condition_fields(server):
+    """The /ui page must expose the cGAN condition controls and their form
+    field names must be exactly what the API parses (label, cond_file) —
+    reference page.tsx:88-92."""
+    with urllib.request.urlopen(server + "/ui") as r:
+        html = r.read().decode()
+    assert 'id="label"' in html and 'id="cond_file"' in html
+    assert "50" in html  # upload limit surfaced
+    # post with those exact field names + the UI's exact query string; the
+    # torch fallback with a condition image reproduces the reference's
+    # channel-mismatch crash, so this needs the shipped Keras weights
+    from celebrity_image_denoiser_tpu.serve.handlers import (
+        ServeState,
+        default_weights_dir,
+    )
+
+    st = ServeState(weights_dir=default_weights_dir())
+    if st.keras_cgan is None:
+        pytest.skip("no shipped keras cGAN weights")
+    srv = make_server("127.0.0.1", 0, state=st)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        body, ctype = _multipart({
+            "file": ("a.png", "image/png", _png_bytes()),
+            "label": (None, None, b"3"),
+            "cond_file": ("c.png", "image/png", _png_bytes()),
+        })
+        status, data = _post(
+            f"{url}/enhance?model=cgan&cgan_backend=keras", body, ctype)
+        assert status == 200, data
+        assert data["backend"] == "keras"
+        assert data["denoised_image_base64"]
+    finally:
+        srv.shutdown()
