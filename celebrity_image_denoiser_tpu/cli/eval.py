@@ -30,7 +30,9 @@ def build_parser():
     p.add_argument("--model", default="denoise",
                    choices=["denoise", "srgan", "esrgan", "dncnn"])
     p.add_argument("--checkpoint", required=False,
-                   help=".pth or native npz checkpoint dir")
+                   help=".pth or native npz checkpoint dir (default: the "
+                        "shipped weights/ checkpoint for the model; a loud "
+                        "warning fires if none exists)")
     p.add_argument("--input-dir", required=True)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--clean-dir", help="optional: compute PSNR/SSIM vs this")
@@ -40,9 +42,37 @@ def build_parser():
     return p
 
 
+def _discover_checkpoint(name: str) -> str | None:
+    """Find a shipped checkpoint for this model (same layout serving uses:
+    weights/<ref .pth filename> or the native weights/<name>/ npz dir)."""
+    from celebrity_image_denoiser_tpu.serve.handlers import (
+        _CKPT_CANDIDATES,
+        default_weights_dir,
+    )
+
+    wd = default_weights_dir()
+    fname = _CKPT_CANDIDATES.get(name, (None, None))[0]
+    if fname and os.path.exists(os.path.join(wd, fname)):
+        return os.path.join(wd, fname)
+    npz_dir = os.path.join(wd, name)
+    if os.path.isdir(npz_dir):
+        return npz_dir
+    return None
+
+
 def load_model(name: str, checkpoint: str | None):
     model = M.build_generator(name)
     params, state = model.init(prng.key(0))
+    if not checkpoint:
+        checkpoint = _discover_checkpoint(name)
+        if checkpoint:
+            logger.info("--checkpoint not given; using shipped %s", checkpoint)
+        else:
+            # random-init "denoising" writes garbage — make that unmissable
+            logger.warning(
+                "NO CHECKPOINT: --checkpoint not given and no shipped "
+                "weights found for %r — outputs will be RANDOM-INIT noise, "
+                "not denoised images.", name)
     if checkpoint:
         if checkpoint.endswith(".pth"):
             from celebrity_image_denoiser_tpu.ckpt import load_pth_safely

@@ -55,6 +55,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize generator activations (jax.checkpoint)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-data-parallel", action="store_true")
+    p.add_argument("--extra-metrics", default="off",
+                   choices=["off", "epoch", "batch"],
+                   help="LPIPS-style + MS-SSIM history: 'batch' computes "
+                        "them on every batch inside the jitted step (the "
+                        "reference's per-batch curves, device-side); 'epoch' "
+                        "samples the held-out test pair once per epoch")
+    p.add_argument("--vgg-pth", default=None,
+                   help="torchvision vgg16 .pth for the SRGAN perceptual "
+                        "loss; default: the shipped trained tower "
+                        "(weights/perceptual) when present, else random "
+                        "features with a loud warning")
     return p
 
 
@@ -134,15 +145,28 @@ def main(argv=None) -> int:
         disc = M.build_discriminator(args.model)
     perceptual = None
     if args.model == "srgan":
-        from celebrity_image_denoiser_tpu.core import prng
+        from celebrity_image_denoiser_tpu.metrics import PerceptualDistance
         from celebrity_image_denoiser_tpu.train.losses import make_vgg_perceptual
+        from celebrity_image_denoiser_tpu.utils.logging import get_logger
 
-        vgg = M.VGGFeatures()
-        vp, vs = vgg.init(prng.key(99))
-        perceptual = make_vgg_perceptual(vgg, vp, vs)
+        log = get_logger("cid_tpu.cli.train")
+        if args.vgg_pth:
+            pd = PerceptualDistance.from_torchvision_pth(args.vgg_pth)
+            log.info("perceptual: torchvision VGG16 from %s", args.vgg_pth)
+        else:
+            pd = PerceptualDistance.default()
+            if pd.pretrained:
+                log.info("perceptual: shipped trained tower (weights/perceptual)")
+            else:
+                log.warning(
+                    "perceptual: NO trained weights found — SRGAN's content "
+                    "loss will use RANDOM VGG features (pass --vgg-pth or "
+                    "ship weights/perceptual)")
+        perceptual = make_vgg_perceptual(pd.net, pd.params, pd.state)
 
+    extra = False if args.extra_metrics == "off" else args.extra_metrics
     trainer = GANTrainer(gen, disc, pipeline, cfg, family=args.model,
-                         perceptual=perceptual, mesh=mesh)
+                         perceptual=perceptual, mesh=mesh, extra_metrics=extra)
     if args.resume:
         trainer.resume()
     history = trainer.train()

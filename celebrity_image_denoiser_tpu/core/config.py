@@ -143,3 +143,17 @@ def get_padding(
     pad_w = (eff - w % eff) % eff
     pad_h = (eff - h % eff) % eff
     return (pad_w // 2, pad_h // 2, pad_w - pad_w // 2, pad_h - pad_h // 2)
+
+def default_weights_dir() -> str:
+    """./weights if the cwd has one, else the repo-root weights/ shipped
+    with the package — checkpoint consumers (serving, eval CLI, the default
+    perceptual net) find the committed weights from any cwd, like the
+    reference resolves weights/ relative to backend/app.py:221."""
+    import os
+
+    if os.path.isdir("weights"):
+        return "weights"
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cand = os.path.join(root, "weights")
+    return cand if os.path.isdir(cand) else "weights"

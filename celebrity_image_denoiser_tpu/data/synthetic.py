@@ -41,7 +41,8 @@ def _shape_layer(key, size: int):
 
 
 def _one_image(key, size: int, num_shapes: int):
-    k_base, k_mid, k_shapes, k_vig = jax.random.split(key, 4)
+    (k_base, k_mid, k_shapes, k_vig,
+     k_tex, k_amp) = jax.random.split(key, 6)
     # smooth low-frequency color field (blobby "skin/background" regions)
     base = jax.image.resize(
         jax.random.uniform(k_base, (6, 6, 3)), (size, size, 3), "cubic")
@@ -56,6 +57,23 @@ def _one_image(key, size: int, num_shapes: int):
         return img * (1.0 - mask) + color * mask, None
 
     img, _ = jax.lax.scan(paint, img, jax.random.split(k_shapes, num_shapes))
+
+    # fine texture (hair/fabric/skin-grain stand-in): two band-limited
+    # layers at quarter and half resolution, per-image random amplitude
+    # (sometimes ~0, so flat-image statistics stay in the corpus too).
+    # Without this the corpus is so smooth that bicubic ×4 upsampling is
+    # near-optimal and the SR families have nothing to learn.
+    amp = jax.random.uniform(k_amp, (2,), minval=0.0, maxval=0.12)
+    kq, kh = jax.random.split(k_tex)
+    tex_q = jax.image.resize(
+        jax.random.uniform(kq, (size // 4, size // 4, 3), minval=-1.0,
+                           maxval=1.0), (size, size, 3), "linear")
+    tex_h = jax.image.resize(
+        jax.random.uniform(kh, (size // 2, size // 2, 3), minval=-1.0,
+                           maxval=1.0), (size, size, 3), "linear")
+    # luminance-coupled so texture reads as surface detail, not color fuzz
+    tex = (amp[0] * tex_q + amp[1] * tex_h)
+    img = img + tex * jnp.mean(img, axis=-1, keepdims=True)
 
     # radial vignette (portrait-photo prior), random strength
     yy, xx = jnp.mgrid[0:size, 0:size].astype(jnp.float32)

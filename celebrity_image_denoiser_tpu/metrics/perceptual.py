@@ -5,9 +5,12 @@ esrgan_train.py:65), which needs downloaded pretrained weights.  This
 implementation follows the LPIPS recipe — per-layer unit-normalized feature
 differences, spatially averaged, summed over layers — on the framework's
 VGGFeatures tower.  With imported torchvision VGG16 weights it reproduces
-lpips-vgg's architecture (uniform layer weights); with random init it is
-still a deterministic perceptual-distance metric (random-feature distances
-are a known useful proxy), clearly labeled as such.
+lpips-vgg's architecture (uniform layer weights).  The repo ships a trained
+tower (weights/perceptual — a denoising-autoencoder encoder trained in-repo,
+scripts/train_serving_weights.py) that ``default()`` picks up; with neither,
+random init is still a deterministic perceptual-distance metric
+(random-feature distances are a known useful proxy), labeled
+``pretrained=False``.
 """
 
 from __future__ import annotations
@@ -80,3 +83,37 @@ class PerceptualDistance:
         params, state = load_pth_safely(net, path, params, state,
                                         key_candidates=("state_dict", "features"))
         return cls(params, state)
+
+    @classmethod
+    def from_npz(cls, path: str):
+        """Build from a native checkpoint dir with 'vgg'/'vgg_state' sections
+        (the in-repo trained tower, scripts/train_serving_weights.py)."""
+        from celebrity_image_denoiser_tpu.ckpt import checkpoint as ckpt_lib
+
+        net = VGGFeatures()
+        params, state = net.init(prng.key(0))
+        sections, _ = ckpt_lib.load_checkpoint(path)
+        if "vgg" not in sections:
+            raise ValueError(f"{path} has no 'vgg' section")
+        return cls(sections["vgg"], sections.get("vgg_state", state) or state)
+
+    @classmethod
+    def default(cls, seed: int = 0):
+        """Trained tower when one is shipped, random features otherwise.
+
+        Discovery order: $CID_VGG_PTH (torchvision .pth) → the committed
+        weights/perceptual npz (synthetic-DAE tower) → random init (labeled
+        pretrained=False)."""
+        import os
+
+        pth = os.environ.get("CID_VGG_PTH")
+        if pth and os.path.exists(pth):
+            return cls.from_torchvision_pth(pth)
+        from celebrity_image_denoiser_tpu.core.config import (
+            default_weights_dir,
+        )
+
+        npz = os.path.join(default_weights_dir(), "perceptual")
+        if os.path.isdir(npz):
+            return cls.from_npz(npz)
+        return cls(seed=seed)

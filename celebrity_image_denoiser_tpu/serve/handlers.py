@@ -28,7 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from celebrity_image_denoiser_tpu import models as M
-from celebrity_image_denoiser_tpu.core.config import MODEL_CFG, get_padding
+from celebrity_image_denoiser_tpu.core.config import (  # noqa: F401
+    MODEL_CFG,
+    default_weights_dir,  # re-export (serving callers import it here)
+    get_padding,
+)
 from celebrity_image_denoiser_tpu.core import prng
 from celebrity_image_denoiser_tpu.data import imageio
 from celebrity_image_denoiser_tpu.utils.logging import get_logger
@@ -57,17 +61,6 @@ class EnhanceError(Exception):
         self.detail = detail
 
 
-def default_weights_dir() -> str:
-    """./weights if the cwd has one, else the repo-root weights/ shipped
-    with the package — serving finds the committed checkpoints from any
-    cwd, like the reference resolves weights/ relative to backend/app.py.
-    """
-    if os.path.isdir("weights"):
-        return "weights"
-    root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    cand = os.path.join(root, "weights")
-    return cand if os.path.isdir(cand) else "weights"
 
 
 def run_enhance(st: "ServeState", *, model: str, file_bytes: bytes,

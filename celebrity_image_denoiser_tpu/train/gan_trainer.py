@@ -88,6 +88,7 @@ def make_train_step(
     remat: bool = False,
     sr_scale: int = 1,
     dncnn_blind: bool = True,
+    extras_fn: Optional[Callable] = None,
 ):
     """Build (init_fn, step_fn).
 
@@ -95,6 +96,11 @@ def make_train_step(
     where carry = (g_params, g_state, d_params, d_state, g_opt, d_opt).
     With ``on_the_fly_noise`` the ``noisy`` argument is ignored and noise is
     drawn on device from ``key`` over the clean batch.
+
+    ``extras_fn(fake, clean) -> dict`` (optional): extra per-batch metrics
+    computed inside the jitted step in the family's native domain — the
+    reference computes LPIPS/MS-SSIM on every batch (training.py:432,
+    378-392); this hook does the same without its per-batch CPU round-trip.
     """
     if family not in FAMILIES:
         raise ValueError(f"unknown family {family!r}; choose from {FAMILIES}")
@@ -162,8 +168,11 @@ def make_train_step(
             g_params_new, g_opt_new = adam_update(g_grads, g_opt, g_params, lr_g)
             psnr_v, ssim_v = eval_metrics(fake, clean)
             carry = (g_params_new, g_state_new, d_params, d_state, g_opt_new, d_opt)
-            return carry, {"g_loss": g_loss, "d_loss": jnp.zeros(()),
-                           "psnr": psnr_v, "ssim": ssim_v}
+            out = {"g_loss": g_loss, "d_loss": jnp.zeros(()),
+                   "psnr": psnr_v, "ssim": ssim_v}
+            if extras_fn is not None:
+                out.update(extras_fn(fake, clean))
+            return carry, out
 
         # ---- discriminator loss/grads (fake detached) ----------------------
         fake0, g_state_fake = g_fwd(g_params, g_state, noisy)
@@ -211,8 +220,11 @@ def make_train_step(
         psnr_v, ssim_v = eval_metrics(fake, clean)
         carry = (g_params_new, g_state_new, d_params_new, d_state_new,
                  g_opt_new, d_opt_new)
-        return carry, {"g_loss": g_loss, "d_loss": d_loss,
-                       "psnr": psnr_v, "ssim": ssim_v}
+        out = {"g_loss": g_loss, "d_loss": d_loss,
+               "psnr": psnr_v, "ssim": ssim_v}
+        if extras_fn is not None:
+            out.update(extras_fn(fake, clean))
+        return carry, out
 
     # ---- jit with optional DP shardings ------------------------------------
     if mesh is not None:
@@ -260,7 +272,7 @@ class GANTrainer:
         mesh: Optional[jax.sharding.Mesh] = None,
         test_pair: Optional[Tuple[np.ndarray, np.ndarray]] = None,
         val_pipeline=None,
-        extra_metrics: bool = False,
+        extra_metrics=False,
     ):
         self.cfg = cfg
         self.family = family or cfg.model
@@ -270,9 +282,35 @@ class GANTrainer:
         self.mesh = mesh
         self.test_pair = test_pair
         self.val_pipeline = val_pipeline  # per-epoch validation metrics
+        # extra_metrics: False | True/"epoch" (sampled once per epoch on the
+        # test pair) | "batch" (computed on EVERY batch inside the jitted
+        # step, like the reference's per-batch LPIPS/MS-SSIM history,
+        # training.py:432 — but on device, no per-batch CPU round-trip)
         self.extra_metrics = extra_metrics
 
         from celebrity_image_denoiser_tpu.core.config import FAMILY_NOISE_VARIANT
+
+        extras_fn = None
+        if extra_metrics == "batch":
+            self._pd = M.PerceptualDistance.default(seed=0)
+            fam_b = self.family
+            pd_dist = self._pd._distance  # un-jitted body; inlines into the step
+
+            def extras_fn(fake, clean):
+                if fam_b in ("esrgan", "dncnn"):
+                    f01 = jnp.clip(fake, 0.0, 1.0)
+                    c01 = jnp.clip(clean, 0.0, 1.0)
+                else:
+                    f01 = jnp.clip(fake * 0.5 + 0.5, 0.0, 1.0)
+                    c01 = jnp.clip(clean * 0.5 + 0.5, 0.0, 1.0)
+                out = {"lpips": jnp.mean(pd_dist(f01, c01))}
+                # ms-ssim needs >=176px for its 5 scales (shape is static
+                # at trace time); plain SSIM fills the slot below that
+                if f01.shape[1] >= 176 and f01.shape[2] >= 176:
+                    out["msssim"] = jnp.mean(M.ms_ssim(f01, c01, data_range=1.0))
+                else:
+                    out["msssim"] = jnp.mean(M.ssim(f01, c01, data_range=1.0))
+                return out
 
         self.init_fn, self.step_fn = make_train_step(
             generator,
@@ -292,6 +330,7 @@ class GANTrainer:
             sr_scale=getattr(generator, "scale_factor", 1)
             if self.family == "srgan" else 1,
             dncnn_blind=cfg.noise_variant is None,
+            extras_fn=extras_fn,
         )
         # eval fn jitted once (params/state as arguments — a per-call
         # closure would embed them as constants and recompile every epoch)
@@ -311,8 +350,9 @@ class GANTrainer:
             k: [] for k in ("g_loss", "d_loss", "psnr", "ssim", "lpips", "msssim")
         }
         self._key_stream = prng.key_stream(cfg.seed + 1)
-        if self.extra_metrics:
-            self._pd = M.PerceptualDistance(seed=0)
+        if self.extra_metrics and self.extra_metrics != "batch":
+            # shipped trained tower when present, random features otherwise
+            self._pd = M.PerceptualDistance.default(seed=0)
 
     # ---- checkpointing ------------------------------------------------------
     def save_checkpoint(self, epoch: int, is_best: bool = False):
@@ -515,7 +555,12 @@ class GANTrainer:
                     "(resume from the last checkpoint).",
                     epoch + 1, cfg.num_epochs, avgs)
                 break
-            lp, ms = self._epoch_extras()
+            if self.extra_metrics == "batch":
+                # per-batch values were computed inside the jitted step;
+                # the epoch entry is their mean (curves are populated, not 0)
+                lp, ms = avgs.get("lpips", 0.0), avgs.get("msssim", 0.0)
+            else:
+                lp, ms = self._epoch_extras()
             self.metric_history["g_loss"].append(avgs["g_loss"])
             self.metric_history["d_loss"].append(avgs["d_loss"])
             self.metric_history["psnr"].append(avgs["psnr"])

@@ -25,6 +25,21 @@ def fig_to_base64(fig) -> str:
     return base64.b64encode(buf.read()).decode("utf-8")
 
 
+# imshow renders into a ~1500x500 px canvas; feeding it more pixels than
+# that only slows the figure down (the 1024² SRGAN case spent ~4 s of its
+# 5.3 s warm latency here, benchmarks/kernel_notes.md) — the panels are
+# diagnostic, not pixel-exact.  Histogram still uses every pixel.
+_MAX_PANEL_ROWS = 512
+
+
+def _panel_view(img: np.ndarray) -> np.ndarray:
+    h = img.shape[0]
+    if h <= _MAX_PANEL_ROWS:
+        return img
+    stride = -(-h // _MAX_PANEL_ROWS)  # ceil
+    return img[::stride, ::stride]
+
+
 def make_graphs(input_vis: np.ndarray, output_vis: np.ndarray) -> str:
     """input_vis/output_vis: float HWC in [0,1] (the cropped view tensors)."""
     import matplotlib
@@ -33,12 +48,12 @@ def make_graphs(input_vis: np.ndarray, output_vis: np.ndarray) -> str:
     import matplotlib.pyplot as plt
 
     noise = np.asarray(input_vis, np.float32) - np.asarray(output_vis, np.float32)
-    abs_error = np.abs(noise)
+    noise_panel = _panel_view(noise)
     fig, axs = plt.subplots(1, 3, figsize=(15, 5))
-    axs[0].imshow(np.clip(noise * 0.5 + 0.5, 0, 1))
+    axs[0].imshow(np.clip(noise_panel * 0.5 + 0.5, 0, 1))
     axs[0].set_title("Noise Map (Input - Output)")
     axs[0].axis("off")
-    axs[1].imshow(np.clip(abs_error * 2.0, 0, 1))
+    axs[1].imshow(np.clip(np.abs(noise_panel) * 2.0, 0, 1))
     axs[1].set_title("Absolute Error Map")
     axs[1].axis("off")
     axs[2].hist(noise.flatten(), bins=50)

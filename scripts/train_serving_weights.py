@@ -78,6 +78,9 @@ def load_perceptual(path: str):
 
     vgg = M.VGGFeatures()
     vp, vs = vgg.init(prng.key(99))
+    if not path:
+        cand = os.path.join(_REPO, "weights", "perceptual")
+        path = cand if os.path.isdir(cand) else None
     if path:
         sections, _ = ckpt_lib.load_checkpoint(path)
         vp = sections.get("vgg", vp)

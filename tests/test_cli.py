@@ -71,6 +71,24 @@ def test_eval_cli_batch_and_iterative(clean_tree, tmp_path):
     assert len(files) == 16  # each input saved at every iteration
     assert any("_iter1" in f for f in files) and any("_iter2" in f for f in files)
 
+    # chaining: iteration 2 consumed iteration 1's output — re-running the
+    # same model on the saved iter1 image must land near the saved iter2
+    # (equality only up to the u8 quantization of the intermediate on disk)
+    import jax.numpy as jnp
+
+    from celebrity_image_denoiser_tpu.cli.eval import load_model
+
+    it1 = sorted(f for f in files if "_iter1" in f)[0]
+    it2 = it1.replace("_iter1", "_iter2")
+    model, params, state = load_model("dncnn", None)
+    x1 = imageio.to_float01(imageio.imread_rgb(it1, (16, 16)))
+    y, _ = model.apply(params, state, jnp.asarray(x1[None]), train=False)
+    recomputed = np.clip(np.asarray(y)[0], 0, 1)
+    saved2 = imageio.to_float01(imageio.imread_rgb(it2, (16, 16)))
+    assert np.max(np.abs(recomputed - saved2)) < 0.05
+    # and iter2 is genuinely a different image than iter1 (the model ran)
+    assert np.any(np.abs(saved2 - x1) > 1.0 / 255)
+
 
 def test_train_cli_srgan_end_to_end(clean_tree, tmp_path):
     """SRGAN via the CLI: on-the-fly noise downscales to LR on device."""

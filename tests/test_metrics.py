@@ -100,3 +100,50 @@ def test_perceptual_distance_properties(rng_np):
     d1 = np.asarray(pd(jnp.asarray(a), jnp.asarray(b)))
     assert (d1 > 0).all()
     assert not pd.pretrained
+
+
+def test_perceptual_default_is_trained_tower():
+    """The repo ships weights/perceptual (in-repo trained DAE tower,
+    scripts/train_serving_weights.py); PerceptualDistance.default() must find
+    it and label itself pretrained (VERDICT r1 missing #1)."""
+    import os
+
+    from celebrity_image_denoiser_tpu.core.config import default_weights_dir
+
+    if not os.path.isdir(os.path.join(default_weights_dir(), "perceptual")):
+        pytest.skip("no shipped perceptual tower")
+    pd = metrics.PerceptualDistance.default()
+    assert pd.pretrained
+    # trained features must order distortion magnitudes sensibly
+    import jax
+
+    from celebrity_image_denoiser_tpu.data.synthetic import synth_clean_batch
+
+    a = np.asarray(synth_clean_batch(jax.random.PRNGKey(3), 2, 64))
+    rng = np.random.default_rng(0)
+    small = np.clip(a + rng.normal(0, 0.03, a.shape), 0, 1).astype(np.float32)
+    big = np.clip(a + rng.normal(0, 0.3, a.shape), 0, 1).astype(np.float32)
+    d_small = float(np.mean(np.asarray(pd(jnp.asarray(a), jnp.asarray(small)))))
+    d_big = float(np.mean(np.asarray(pd(jnp.asarray(a), jnp.asarray(big)))))
+    assert 0.0 < d_small < d_big
+
+
+def test_srgan_perceptual_loss_uses_trained_features():
+    """make_vgg_perceptual over the shipped tower: the content loss the
+    srgan CLI builds by default is non-random (cli/train.py discovery)."""
+    import os
+
+    import jax
+
+    from celebrity_image_denoiser_tpu.core.config import default_weights_dir
+    from celebrity_image_denoiser_tpu.data.synthetic import synth_clean_batch
+    from celebrity_image_denoiser_tpu.train.losses import make_vgg_perceptual
+
+    if not os.path.isdir(os.path.join(default_weights_dir(), "perceptual")):
+        pytest.skip("no shipped perceptual tower")
+    pd = metrics.PerceptualDistance.default()
+    loss = make_vgg_perceptual(pd.net, pd.params, pd.state)
+    a = synth_clean_batch(jax.random.PRNGKey(5), 2, 32)
+    b = jnp.clip(a + 0.2, 0, 1)
+    assert float(loss(a, a)) == 0.0
+    assert float(loss(a, b)) > 0.0
