@@ -60,6 +60,39 @@ def bench_host_stage(paths, batch=64, out_hw=(128, 128), iters=8):
     return n / dt
 
 
+def bench_train_path(paths, batch=64, out_hw=(128, 128), threads=(1, 2, 4, 8)):
+    """Host throughput of THE pipeline the trainer iterates (DataPipeline ->
+    dataset.raw decode threads -> C++ cid_assemble_batch), per thread count.
+    Same code path as cli/train (no device stage: sharding=None + numpy-only
+    consumption measures pure host assembly + device_put dispatch)."""
+    import shutil
+    import tempfile as _tf
+
+    from celebrity_image_denoiser_tpu.data.datasets import CleanImageDataset
+    from celebrity_image_denoiser_tpu.data.pipeline import DataPipeline
+
+    d = _tf.mkdtemp(prefix="cid_bench_tree_")
+    os.makedirs(os.path.join(d, "p0"))
+    for i, p in enumerate(paths):
+        os.link(p, os.path.join(d, "p0", f"{i:04d}.jpg"))
+    ds = CleanImageDataset(d, image_size=out_hw, normalize=True,
+                           test_split=0.01)
+    rates = {}
+    for nt in threads:
+        pipe = DataPipeline(ds, batch, shuffle=False, num_threads=nt,
+                            prefetch=2)
+        next(iter(pipe))  # warm (thread pool spin-up, first decode)
+        t0 = time.perf_counter()
+        n = 0
+        while n < 4 * batch:  # several epochs of the small corpus
+            for b in pipe:
+                n += b.shape[0]
+        dt = time.perf_counter() - t0
+        rates[nt] = n / dt
+    shutil.rmtree(d)
+    return rates, pipe.use_native
+
+
 def bench_device_stage(batch=64, out_hw=(128, 128), iters=15):
     import jax
     import jax.numpy as jnp
@@ -96,6 +129,12 @@ def main():
     host_rate = bench_host_stage(paths)
     print(json.dumps({"metric": "host_decode_resize_normalize_assemble",
                       "value": round(host_rate, 1), "unit": "images/sec"}))
+    rates, used_native = bench_train_path(paths)
+    for nt, r in rates.items():
+        print(json.dumps({
+            "metric": f"train_pipeline_host_threads{nt}"
+                      + ("" if used_native else "_python_fallback"),
+            "value": round(r, 1), "unit": "images/sec"}))
     try:
         dev_rate = bench_device_stage()
         print(json.dumps({"metric": "device_denoise_batch64_128",

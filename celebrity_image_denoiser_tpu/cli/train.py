@@ -97,20 +97,13 @@ def main(argv=None) -> int:
         mesh = make_mesh()
 
     if cfg.on_the_fly_noise:
-        ds = CleanImageDataset(args.clean_dir, image_size=cfg.image_size,
-                               test_split=cfg.test_split, split_seed=cfg.split_seed)
-
-        class Normalized:
-            # the jitted step always receives clean in [-1,1] on this path
-            # and converts per family internally (gan_trainer.py)
-            def __len__(self):
-                return len(ds)
-
-            def __getitem__(self, i):
-                x = ds[i]
-                return None if x is None else x * 2.0 - 1.0
-
-        dataset = Normalized()
+        # the jitted step always receives clean in [-1,1] on this path and
+        # converts per family internally (gan_trainer.py); normalizing in
+        # the dataset (not a wrapper) keeps the native C++ batch-assembly
+        # fast path visible to DataPipeline
+        dataset = CleanImageDataset(
+            args.clean_dir, image_size=cfg.image_size, normalize=True,
+            test_split=cfg.test_split, split_seed=cfg.split_seed)
     else:
         # SRGAN's disk layout is LR noisy / HR clean (sr_ganNoise.py);
         # esrgan/dncnn pairs load unnormalized ([0,1], their train domain)

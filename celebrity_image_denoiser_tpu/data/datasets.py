@@ -126,6 +126,26 @@ class PairedImageDataset:
                            noisy_path, clean_path, e)
             return None
 
+    # -- native fast path (data/native.py): decode-only here; resize +
+    # normalize + batch assembly run in the C++ thread pool ------------------
+    @property
+    def raw_batch_spec(self):
+        if self.noisy_size is None or self.clean_size is None:
+            return None  # variable sizes -> python path
+        m, s = (0.5, 0.5) if self.normalize else (0.0, 1.0)
+        return [(self.noisy_size, m, s), (self.clean_size, m, s)]
+
+    def raw(self, idx: int):
+        """Decoded uint8 HWC pair (no resize/normalize), or None."""
+        noisy_path, clean_path = self.image_pairs[idx]
+        try:
+            return (imageio.imread_rgb(noisy_path, None),
+                    imageio.imread_rgb(clean_path, None))
+        except Exception as e:
+            logger.warning("Error loading images: %s, %s. Error: %s",
+                           noisy_path, clean_path, e)
+            return None
+
     def get_test(self, idx: int):
         noisy_path, clean_path = self.test_image_pairs[idx]
         return (self._load(noisy_path, self.noisy_size),
@@ -143,7 +163,11 @@ class CleanImageDataset:
         image_size: Optional[Tuple[int, int]] = (256, 256),
         test_split: float = 0.2,
         split_seed: int = 42,
+        normalize: bool = False,
     ):
+        """``normalize=True`` returns [-1,1] (the tanh families' training
+        domain) instead of [0,1] — keep normalization here rather than in a
+        wrapper so the pipeline's native fast path can see it."""
         paths = imageio.list_images(clean_dir)
         if not paths:
             raise ValueError(f"No images found under {clean_dir}")
@@ -151,6 +175,7 @@ class CleanImageDataset:
             paths, test_split, split_seed
         )
         self.image_size = image_size
+        self.normalize = normalize
 
     def __len__(self):
         return len(self.train_paths)
@@ -158,7 +183,23 @@ class CleanImageDataset:
     def __getitem__(self, idx: int):
         size = None if self.image_size is None else (self.image_size[1], self.image_size[0])
         try:
-            return imageio.to_float01(imageio.imread_rgb(self.train_paths[idx], size))
+            arr = imageio.to_float01(imageio.imread_rgb(self.train_paths[idx], size))
+            return imageio.normalize(arr) if self.normalize else arr
+        except Exception as e:
+            logger.warning("Error loading %s: %s", self.train_paths[idx], e)
+            return None
+
+    # -- native fast path ------------------------------------------------------
+    @property
+    def raw_batch_spec(self):
+        if self.image_size is None:
+            return None
+        m, s = (0.5, 0.5) if self.normalize else (0.0, 1.0)
+        return [(self.image_size, m, s)]
+
+    def raw(self, idx: int):
+        try:
+            return imageio.imread_rgb(self.train_paths[idx], None)
         except Exception as e:
             logger.warning("Error loading %s: %s", self.train_paths[idx], e)
             return None

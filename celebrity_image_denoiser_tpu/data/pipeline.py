@@ -47,7 +47,15 @@ class DataPipeline:
         prefetch: int = 2,
         sharding: Optional[jax.sharding.Sharding] = None,
         num_threads: int = 2,
+        use_native: Optional[bool] = None,
     ):
+        """``use_native``: route batch assembly through the C++ stage
+        (data/native.py: parallel PIL decode threads feed
+        ``cid_assemble_batch``'s fused resize+normalize+assembly pool) when
+        the dataset advertises a ``raw_batch_spec``.  Default (None) = auto:
+        on when the native library builds.  The C++ bicubic matches PIL
+        within ±2/255 mean (tests/test_native.py), not bit-exactly — pass
+        False for bit-parity with the pure-python path."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -57,6 +65,13 @@ class DataPipeline:
         self.sharding = sharding
         self.num_threads = max(1, num_threads)
         self._epoch = 0
+        self._spec = getattr(dataset, "raw_batch_spec", None)
+        if use_native is None:
+            from celebrity_image_denoiser_tpu.data import native
+
+            use_native = self._spec is not None and native.available()
+        self.use_native = bool(use_native and self._spec is not None)
+        self._pool = None
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -72,7 +87,36 @@ class DataPipeline:
             rng.shuffle(idx)
         return idx
 
+    def _load_batch_native(self, indices: Sequence[int]):
+        """Decode in parallel python threads (PIL releases the GIL for the
+        codec work), then hand the uint8 images to the C++ stage for fused
+        bicubic resize + normalize + NHWC assembly (loader.cpp) — the
+        BASELINE config-2 host stage on the training path."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from celebrity_image_denoiser_tpu.data import native
+
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(self.num_threads)
+        raws = [r for r in self._pool.map(
+            lambda i: self.dataset.raw(int(i)), indices) if r is not None]
+        if not raws:
+            return None
+        if self.drop_last and len(raws) < len(indices):
+            k = 0
+            while len(raws) < len(indices):  # static batch dim for XLA
+                raws.append(raws[k % len(raws)])
+                k += 1
+        sides = []
+        for j, (hw, mean, std) in enumerate(self._spec):
+            imgs = [(r[j] if isinstance(r, tuple) else r) for r in raws]
+            sides.append(native.assemble_batch(
+                imgs, hw, mean=mean, std=std, threads=self.num_threads))
+        return tuple(sides) if len(sides) > 1 else sides[0]
+
     def _load_batch(self, indices: Sequence[int]):
+        if self.use_native:
+            return self._load_batch_native(indices)
         samples = []
         for i in indices:
             s = self.dataset[int(i)]

@@ -47,15 +47,10 @@ def main():
     print(f"[1/5] wrote 16 synthetic faces under {clean_dir}")
 
     # 2. train the flagship denoise GAN with on-device noise injection
-    ds = CleanImageDataset(os.path.join(wd, "Clean_dataset"), image_size=(64, 64))
-
-    class Normalized:
-        def __len__(self):
-            return len(ds)
-
-        def __getitem__(self, i):
-            x = ds[i]
-            return None if x is None else x * 2 - 1
+    # (normalize=True -> [-1,1]; DataPipeline batches through the native C++
+    # stage when it builds)
+    ds = CleanImageDataset(os.path.join(wd, "Clean_dataset"),
+                           image_size=(64, 64), normalize=True)
 
     cfg = TrainConfig(model="denoise", num_epochs=args.epochs, batch_size=4,
                       image_size=(64, 64), on_the_fly_noise=True,
@@ -63,7 +58,7 @@ def main():
                       graph_dir=os.path.join(wd, "graphs"),
                       test_image_dir=os.path.join(wd, "testImage"))
     trainer = GANTrainer(models.DenoiseGenerator(), models.DenoiseDiscriminator(),
-                         DataPipeline(Normalized(), cfg.batch_size), cfg)
+                         DataPipeline(ds, cfg.batch_size), cfg)
     history = trainer.train()
     plot_metrics(history, cfg.graph_dir)
     print(f"[2/5] trained {args.epochs} epochs; PSNR history: "
