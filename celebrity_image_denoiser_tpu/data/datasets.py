@@ -72,6 +72,32 @@ def train_test_split_pairs(pairs: List, test_split: float = 0.2, seed: int = 42)
         return train, test
 
 
+def train_val_test_split(items: List, train_split: float = 0.8,
+                         val_split: float = 0.1, seed: Optional[int] = None):
+    """80/10/10 three-way split — the cGAN trainer's ``split_dataset``
+    (training5Pbar.py:131-141): an 80/20 first cut, then the remainder split
+    val-vs-test at val_split/(1-train_split).  The reference passes
+    ``random_state=None`` (a different split every run); pass a seed for
+    reproducibility."""
+    if not items:
+        raise ValueError("Dataset is empty. Cannot split.")
+    try:
+        from sklearn.model_selection import train_test_split as _tts
+
+        train, temp = _tts(items, train_size=train_split, random_state=seed)
+        val, test = _tts(temp, train_size=val_split / (1 - train_split),
+                         random_state=seed)
+        return train, val, test
+    except ImportError:
+        rng = np.random.default_rng(seed)
+        idx = rng.permutation(len(items))
+        n_tr = int(round(len(items) * train_split))
+        n_val = int(round(len(items) * val_split))
+        pick = lambda sl: [items[i] for i in sl]  # noqa: E731
+        return (pick(idx[:n_tr]), pick(idx[n_tr:n_tr + n_val]),
+                pick(idx[n_tr + n_val:]))
+
+
 class PairedImageDataset:
     """Noisy/clean pairs from disk, normalized to [-1,1] float32 NHWC.
 

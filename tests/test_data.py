@@ -209,3 +209,18 @@ def test_pipeline_paired_native_path(tmp_path, rng_np):
     assert pipe.use_native
     noisy, clean = next(iter(pipe))
     assert noisy.shape == (2, 8, 8, 3) and clean.shape == (2, 32, 32, 3)
+
+
+def test_train_val_test_split_three_way():
+    """80/10/10 split mirroring the cGAN trainer's split_dataset
+    (training5Pbar.py:131-141), with optional reproducible seed."""
+    from celebrity_image_denoiser_tpu.data.datasets import train_val_test_split
+
+    items = list(range(100))
+    tr, va, te = train_val_test_split(items, seed=0)
+    assert (len(tr), len(va), len(te)) == (80, 10, 10)
+    assert sorted(tr + va + te) == items
+    tr2, va2, te2 = train_val_test_split(items, seed=0)
+    assert (tr, va, te) == (tr2, va2, te2)
+    with pytest.raises(ValueError):
+        train_val_test_split([])
