@@ -104,3 +104,23 @@ def test_xla_fallback_same_semantics():
     d = (o - base) * 255 / 2
     assert abs(d.std() - 25.0) < 2.5
     assert o.min() >= -1.0 and o.max() <= 1.0
+
+
+@pytest.mark.parametrize("kpack", [False, True])
+def test_double_conv_matches_xla(rng_np, interpret_pallas, kpack):
+    """Fused conv→ReLU→conv→ReLU block (ops/pallas/double_conv.py) vs the
+    sequential XLA pair, including the image-border semantics (conv2's zero
+    padding must see 0, not conv1-past-the-edge)."""
+    from celebrity_image_denoiser_tpu.ops.pallas import double_conv
+
+    x = jnp.asarray(rng_np.standard_normal((2, 32, 16, 24)).astype(np.float32))
+    w1 = jnp.asarray(rng_np.standard_normal((3, 3, 24, 32)).astype(np.float32)) * 0.1
+    b1 = jnp.asarray(rng_np.standard_normal((32,)).astype(np.float32))
+    w2 = jnp.asarray(rng_np.standard_normal((3, 3, 32, 40)).astype(np.float32)) * 0.1
+    b2 = jnp.asarray(rng_np.standard_normal((40,)).astype(np.float32))
+    h = jnp.maximum(ops.conv2d(x, w1, b1, stride=1, padding=1), 0)
+    ref = jnp.maximum(ops.conv2d(h, w2, b2, stride=1, padding=1), 0)
+    got = double_conv.double_conv3x3_relu(x, w1, b1, w2, b2, tile_h=8,
+                                          kpack=kpack)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
