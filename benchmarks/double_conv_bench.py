@@ -36,15 +36,19 @@ def fence(y):
 
 
 def bench(fn, x, iters=20):
-    y = fn(x)
-    fence(y)  # compile + warm
+    """Chain iters calls inside ONE jitted scan — per-call dispatch through
+    the axon tunnel is ~ms and would otherwise dominate the measurement."""
+
+    @jax.jit
+    def many(x0):
+        def body(c, _):
+            return fn(c * 0.0 + x0), None
+
+        return jax.lax.scan(body, x0, None, length=iters)[0]
+
+    fence(many(x))  # compile + warm
     t0 = time.perf_counter()
-    cur = x
-    for _ in range(iters):
-        # chain: feed a slice of the output back so iterations serialize
-        cur = fn(cur * 0.0 + x)
-        cur = cur[..., : x.shape[-1]]
-    fence(cur)
+    fence(many(x))
     return (time.perf_counter() - t0) / iters
 
 
@@ -55,6 +59,7 @@ def main():
     ap.add_argument("--ch", type=int, default=64)
     ap.add_argument("--skip-kpack", action="store_true")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--tile-h", type=int, default=16)
     args = ap.parse_args()
     dt = jnp.dtype(args.dtype)
     n, s, c = args.batch, args.size, args.ch
@@ -83,7 +88,7 @@ def main():
     for name, kpack in variants:
         def fused(x, kpack=kpack):
             return double_conv.double_conv3x3_relu(
-                x, w1, b1, w2, b2, tile_h=16, kpack=kpack)
+                x, w1, b1, w2, b2, tile_h=args.tile_h, kpack=kpack)
 
         print(f"compiling {name} (remote Mosaic, ~200 s)...",
               file=sys.stderr, flush=True)

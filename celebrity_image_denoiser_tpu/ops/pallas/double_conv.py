@@ -68,12 +68,15 @@ def _kernel(xa, xb, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     # at j∈{0, ww-1} always (no column tiling) and at the first/last row
     # tile's outer i.
     t = pl.program_id(0) % tiles
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+    # build the mask directly at (hh*ww, 1): Mosaic can't shape-cast a 2D
+    # (hh, ww) i1 vector to (hh*ww, 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (hh * ww, 1), 0)
+    row_ids = idx // ww
+    col_ids = jax.lax.rem(idx, ww)
     valid = (col_ids >= 1) & (col_ids <= ww - 2)
     valid &= (row_ids >= 1) | (t > 0)
     valid &= (row_ids <= hh - 2) | (t < tiles - 1)
-    h = h * valid.reshape(hh * ww, 1).astype(h.dtype)
+    h = h * valid.astype(h.dtype)
     h_ref[:] = h.reshape(hh, ww, c1).astype(h_ref.dtype)
 
     # ---- conv2 + bias + ReLU -> out (tile_h, W, C2) ------------------------
