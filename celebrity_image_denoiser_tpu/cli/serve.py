@@ -18,6 +18,13 @@ def build_parser():
                    help="comma-separated HxW sizes to precompile at startup "
                         "(e.g. 256x256,512x512) so first requests skip XLA "
                         "compile")
+    p.add_argument("--spatial-shard", action="store_true",
+                   help="multi-chip serving: run tall inputs height-sharded "
+                        "over all devices (GSPMD, bit-exact) instead of the "
+                        "sequential single-device tiler")
+    p.add_argument("--tile-threshold-rows", type=int, default=2048,
+                   help="inputs taller than this route through tiled/"
+                        "sharded inference")
     return p
 
 
@@ -39,18 +46,30 @@ def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
     sizes = _parse_sizes(parser, args.precompile) if args.precompile else None
+
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    mesh = None
+    if args.spatial_shard:
+        import jax
+
+        if len(jax.devices()) > 1:
+            from celebrity_image_denoiser_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
+    state = ServeState(weights_dir=args.weights_dir, mesh=mesh,
+                       tile_threshold_rows=args.tile_threshold_rows)
     if args.framework == "fastapi":
         import uvicorn
 
         from celebrity_image_denoiser_tpu.serve.app import create_fastapi_app
 
-        uvicorn.run(create_fastapi_app(args.weights_dir, precompile=sizes),
+        uvicorn.run(create_fastapi_app(state=state, precompile=sizes),
                     host=args.host, port=args.port)
     else:
         from celebrity_image_denoiser_tpu.serve.app import run_server
 
-        run_server(args.host, args.port, weights_dir=args.weights_dir,
-                   precompile=sizes)
+        run_server(args.host, args.port, state=state, precompile=sizes)
     return 0
 
 

@@ -89,16 +89,24 @@ class ServeState:
 
     def __init__(self, weights_dir: Optional[str] = None, seed: int = 0,
                  tile_threshold_rows: int = 2048, use_tiling: bool = True,
-                 bucket_divisor: Optional[int] = None):
+                 bucket_divisor: Optional[int] = None, mesh=None):
         """``bucket_divisor`` (e.g. 64): round pad-to sizes up to this
         multiple so arbitrary request shapes hit a small set of compiled
         programs instead of recompiling per shape.  Off by default — the
         extra zero border can shift values within the receptive-field band
-        relative to the reference's exact divisor-4 padding."""
+        relative to the reference's exact divisor-4 padding.
+
+        ``mesh``: a jax.sharding.Mesh for multi-chip serving.  Inputs taller
+        than ``tile_threshold_rows`` whose padded height divides the mesh
+        size run through GSPMD spatial sharding (parallel.tiling.
+        spatial_sharded_apply — bit-identical to the single-device forward,
+        halo exchanges over ICI) instead of the sequential single-device
+        tiler; the reference OOMs on such inputs (SURVEY §5 long-context)."""
         self.weights_dir = weights_dir or default_weights_dir()
         self.tile_threshold_rows = tile_threshold_rows
         self.use_tiling = use_tiling
         self.bucket_divisor = bucket_divisor
+        self.mesh = mesh
         self.models: Dict[str, object] = {
             "denoise": M.DenoiseGenerator(),
             "cgan": M.CGANTorchGenerator(),
@@ -159,15 +167,27 @@ class ServeState:
                 y, _ = model.apply(params, state, x, train=False)
                 return y
             self._fns[which] = jax.jit(fn)
-        if self.use_tiling and x.shape[1] > self.tile_threshold_rows:
-            from celebrity_image_denoiser_tpu.parallel.tiling import (
-                tiled_apply_single_device,
-            )
-            scale = MODEL_CFG.get(which.split(":")[0], {}).get("scale", 1)
-            tiled = tiled_apply_single_device(
-                model, params, state,
-                tile_h=self.tile_threshold_rows, halo=32, scale=scale)
-            return tiled(x)
+        if x.shape[1] > self.tile_threshold_rows:
+            n_dev = 0 if self.mesh is None else self.mesh.devices.size
+            if n_dev > 1 and x.shape[1] % n_dev == 0:
+                # multi-chip: height-sharded GSPMD forward, bit-exact
+                key = ("sharded", which)
+                if key not in self._fns:
+                    from celebrity_image_denoiser_tpu.parallel.tiling import (
+                        spatial_sharded_apply,
+                    )
+
+                    self._fns[key] = spatial_sharded_apply(model, self.mesh)
+                return self._fns[key](params, state, x)
+            if self.use_tiling:
+                from celebrity_image_denoiser_tpu.parallel.tiling import (
+                    tiled_apply_single_device,
+                )
+                scale = MODEL_CFG.get(which.split(":")[0], {}).get("scale", 1)
+                tiled = tiled_apply_single_device(
+                    model, params, state,
+                    tile_h=self.tile_threshold_rows, halo=32, scale=scale)
+                return tiled(x)
         return self._fns[which](params, state, x)
 
     def warmup(self, sizes=((256, 256),)) -> None:
@@ -233,8 +253,11 @@ class ServeState:
         skips the matplotlib analysis figure — it dominates warm latency
         (~0.4 s of the ~0.6 s total at 256²; device compute is ~1 ms).  The
         response keeps the contract keys with an empty graph string."""
+        import time
+
         from PIL import Image
 
+        t_start = time.perf_counter()
         model = model.lower()
         if model not in self.models:
             raise EnhanceError(
@@ -249,6 +272,7 @@ class ServeState:
             image = imageio.imread_rgb(file_bytes)
         except Exception:
             raise EnhanceError(500, "Image enhancement failed")
+        t_decode = time.perf_counter()
 
         try:
             h, w = image.shape[:2]
@@ -314,6 +338,7 @@ class ServeState:
                 x_vis = x01  # denormed view (app.py:434)
                 y_vis = y01
 
+            t_forward = time.perf_counter()
             x_pil = Image.fromarray((np.clip(x_vis, 0, 1) * 255).astype(np.uint8))
             y_pil = Image.fromarray((np.clip(y_vis, 0, 1) * 255).astype(np.uint8))
 
@@ -333,11 +358,21 @@ class ServeState:
                 x_pil = x_pil.crop(box).resize(y_pil.size, Image.BICUBIC)
 
             graph_b64 = ""
+            t_crop = time.perf_counter()
             if include_graph:
                 x_graph = np.asarray(x_pil, np.float32) / 255.0
                 y_graph = np.asarray(y_pil, np.float32) / 255.0
                 graph_b64 = make_graphs(x_graph, y_graph)
+            t_graph = time.perf_counter()
             out_b64 = imageio.encode_png_base64(np.asarray(y_pil))
+            done = time.perf_counter()
+            # per-request stage observability (the reference has none)
+            logger.info(
+                "[%s] %dx%d in %.0f ms (decode %.0f, forward+D2H %.0f, "
+                "figure %.0f, encode %.0f)", model, w, h,
+                (done - t_start) * 1e3, (t_decode - t_start) * 1e3,
+                (t_forward - t_decode) * 1e3, (t_graph - t_crop) * 1e3,
+                (done - t_graph) * 1e3)
             return {
                 "denoised_image_base64": out_b64,
                 "noise_graph_base64": graph_b64,

@@ -411,3 +411,45 @@ def test_static_ui_cgan_condition_fields(server):
         assert data["denoised_image_base64"]
     finally:
         srv.shutdown()
+
+
+def test_upload_limit_400():
+    """50 MB cap (reference app.py:374-375) through the shared state."""
+    from celebrity_image_denoiser_tpu.serve.handlers import (
+        EnhanceError,
+        MAX_UPLOAD,
+        ServeState,
+    )
+
+    st = _server_state[next(iter(_server_state))] if _server_state else \
+        ServeState(weights_dir="/nonexistent-weights")
+    with pytest.raises(EnhanceError) as ei:
+        st.enhance("denoise", b"x" * (MAX_UPLOAD + 1), "image/png")
+    assert ei.value.status == 400 and "too large" in ei.value.detail.lower()
+
+
+def test_mesh_sharded_serving_bit_exact():
+    """ServeState(mesh=...) routes tall inputs through GSPMD spatial
+    sharding (multi-chip serving) — output must be BIT-identical to the
+    plain single-device forward of the same weights."""
+    import jax
+
+    from celebrity_image_denoiser_tpu.parallel import make_mesh
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_mesh()
+    st_plain = ServeState(weights_dir="/nonexistent-weights", seed=3)
+    st_mesh = ServeState(weights_dir="/nonexistent-weights", seed=3,
+                         mesh=mesh, tile_threshold_rows=32)
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 255, (64, 32, 3), dtype=np.uint8)  # H=64 = 8*8
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    png = buf.getvalue()
+    a = st_plain.enhance("denoise", png, "image/png", include_graph=False)
+    b = st_mesh.enhance("denoise", png, "image/png", include_graph=False)
+    assert a["denoised_image_base64"] == b["denoised_image_base64"]
