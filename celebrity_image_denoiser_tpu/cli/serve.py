@@ -25,6 +25,11 @@ def build_parser():
     p.add_argument("--tile-threshold-rows", type=int, default=2048,
                    help="inputs taller than this route through tiled/"
                         "sharded inference")
+    p.add_argument("--microbatch-ms", type=float, default=None,
+                   help="coalesce concurrent same-shape requests into one "
+                        "device batch, waiting up to this many ms (off by "
+                        "default; big throughput win under load)")
+    p.add_argument("--microbatch-max", type=int, default=16)
     return p
 
 
@@ -58,7 +63,9 @@ def main(argv=None) -> int:
 
             mesh = make_mesh()
     state = ServeState(weights_dir=args.weights_dir, mesh=mesh,
-                       tile_threshold_rows=args.tile_threshold_rows)
+                       tile_threshold_rows=args.tile_threshold_rows,
+                       microbatch_window_ms=args.microbatch_ms,
+                       microbatch_max=args.microbatch_max)
     if args.framework == "fastapi":
         import uvicorn
 

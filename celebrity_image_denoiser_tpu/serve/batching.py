@@ -1,0 +1,115 @@
+"""Request micro-batching for serving throughput.
+
+The reference serves strictly batch-1 forwards (one `net(x)` per request,
+app.py:392/433) and its own frontend serializes requests "to manage GPU/CPU"
+(page.tsx:123).  On a TPU that wastes almost the whole chip: the 128² U-Net
+step costs ~2 ms at batch 1 but ~0.1 ms/image at batch 16+
+(benchmarks/kernel_notes.md).  This module coalesces concurrent same-shape
+requests into one device batch:
+
+* requests enqueue per (model, padded shape) key; the thread that turns the
+  queue non-empty becomes the *leader*, sleeps ``window_ms``, then drains
+  everything that accumulated and runs it as chunks of ``max_batch``;
+* batches pad to the next power of two (1,2,4,8,…) so the jit cache holds
+  O(log max_batch) programs per shape instead of one per occupancy;
+* disabled by default (zero added latency); enable for load with
+  ``ServeState(microbatch_window_ms=...)`` / ``cli.serve --microbatch-ms``.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, Dict, Tuple
+
+import jax.numpy as jnp
+
+
+def _pow2_at_least(n: int, cap: int) -> int:
+    p = 1
+    while p < n and p < cap:
+        p *= 2
+    return min(p, cap)
+
+
+class MicroBatcher:
+    """Coalesce concurrent single-image forwards into device batches.
+
+    ``fn(x)`` must be batch-polymorphic over axis 0 and per-sample
+    independent (true for every inference forward here: convs/BN in eval
+    mode).  Call with x of shape (1, H, W, C); returns (1, ...)."""
+
+    def __init__(self, fn: Callable, window_ms: float = 3.0,
+                 max_batch: int = 16):
+        self.fn = fn
+        self.window_s = window_ms / 1e3
+        self.max_batch = max_batch
+        self.lock = threading.Lock()
+        self.pending = []  # list of dicts: {x, ev, y|err}
+        self.batches_run = 0  # observability / tests
+        self.requests_served = 0
+
+    def __call__(self, x):
+        box = {"x": x, "ev": threading.Event()}
+        with self.lock:
+            self.pending.append(box)
+            leader = len(self.pending) == 1
+        if leader:
+            time.sleep(self.window_s)
+            with self.lock:
+                batch = self.pending
+                self.pending = []
+            self._run(batch)
+        if not box["ev"].wait(timeout=300):
+            raise RuntimeError("micro-batch leader did not complete")
+        if "err" in box:
+            raise box["err"]
+        return box["y"]
+
+    def _run(self, batch):
+        try:
+            for start in range(0, len(batch), self.max_batch):
+                chunk = batch[start:start + self.max_batch]
+                n = len(chunk)
+                padded = _pow2_at_least(n, self.max_batch)
+                xs = jnp.concatenate(
+                    [b["x"] for b in chunk]
+                    + [chunk[-1]["x"]] * (padded - n), axis=0)
+                ys = self.fn(xs)
+                with self.lock:
+                    self.batches_run += 1
+                    self.requests_served += n
+                for i, b in enumerate(chunk):
+                    b["y"] = ys[i:i + 1]
+        except Exception as e:  # propagate to every waiter
+            for b in batch:
+                b["err"] = e
+        finally:
+            for b in batch:
+                b["ev"].set()
+
+
+class BatcherPool:
+    """One MicroBatcher per (model, input shape) key."""
+
+    def __init__(self, window_ms: float, max_batch: int = 16):
+        self.window_ms = window_ms
+        self.max_batch = max_batch
+        self._lock = threading.Lock()
+        self._batchers: Dict[Tuple, MicroBatcher] = {}
+
+    def get(self, key: Tuple, fn: Callable) -> MicroBatcher:
+        with self._lock:
+            b = self._batchers.get(key)
+            if b is None:
+                b = self._batchers[key] = MicroBatcher(
+                    fn, self.window_ms, self.max_batch)
+            return b
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                str(k): {"batches": b.batches_run,
+                         "requests": b.requests_served}
+                for k, b in self._batchers.items()
+            }

@@ -89,7 +89,9 @@ class ServeState:
 
     def __init__(self, weights_dir: Optional[str] = None, seed: int = 0,
                  tile_threshold_rows: int = 2048, use_tiling: bool = True,
-                 bucket_divisor: Optional[int] = None, mesh=None):
+                 bucket_divisor: Optional[int] = None, mesh=None,
+                 microbatch_window_ms: Optional[float] = None,
+                 microbatch_max: int = 16):
         """``bucket_divisor`` (e.g. 64): round pad-to sizes up to this
         multiple so arbitrary request shapes hit a small set of compiled
         programs instead of recompiling per shape.  Off by default — the
@@ -101,12 +103,22 @@ class ServeState:
         size run through GSPMD spatial sharding (parallel.tiling.
         spatial_sharded_apply — bit-identical to the single-device forward,
         halo exchanges over ICI) instead of the sequential single-device
-        tiler; the reference OOMs on such inputs (SURVEY §5 long-context)."""
+        tiler; the reference OOMs on such inputs (SURVEY §5 long-context).
+
+        ``microbatch_window_ms``: coalesce concurrent same-shape requests
+        into one device batch (serve/batching.py) — off by default (adds
+        that much latency); a large throughput win under load vs the
+        reference's strictly batch-1 forwards."""
         self.weights_dir = weights_dir or default_weights_dir()
         self.tile_threshold_rows = tile_threshold_rows
         self.use_tiling = use_tiling
         self.bucket_divisor = bucket_divisor
         self.mesh = mesh
+        self.batchers = None
+        if microbatch_window_ms is not None:
+            from celebrity_image_denoiser_tpu.serve.batching import BatcherPool
+
+            self.batchers = BatcherPool(microbatch_window_ms, microbatch_max)
         self.models: Dict[str, object] = {
             "denoise": M.DenoiseGenerator(),
             "cgan": M.CGANTorchGenerator(),
@@ -188,6 +200,11 @@ class ServeState:
                     model, params, state,
                     tile_h=self.tile_threshold_rows, halo=32, scale=scale)
                 return tiled(x)
+        if self.batchers is not None and x.shape[0] == 1:
+            fn = self._fns[which]
+            batcher = self.batchers.get(
+                (which, x.shape[1:]), lambda xs: fn(params, state, xs))
+            return batcher(x)
         return self._fns[which](params, state, x)
 
     def warmup(self, sizes=((256, 256),)) -> None:
@@ -214,11 +231,23 @@ class ServeState:
                         continue  # torch cgan generates from a latent; its
                         # shape-independent path warms on first label request
                     km, kp, ks = self.keras_cgan
-                    x = jnp.zeros((1, hh, ww, 3), jnp.float32)
-                    np.asarray(self._forward("cgan:keras", km, kp, ks, x))
+                    which, m, p, s = "cgan:keras", km, kp, ks
                 else:
-                    x = jnp.zeros((1, hh, ww, 3), jnp.float32)
-                    np.asarray(self._forward(name, model, *self.params[name], x))
+                    which, m = name, model
+                    p, s = self.params[name]
+                x = jnp.zeros((1, hh, ww, 3), jnp.float32)
+                np.asarray(self._forward(which, m, p, s, x))
+                if self.batchers is not None:
+                    # also precompile each pow-2 micro-batch occupancy: the
+                    # first loaded burst otherwise eats one XLA compile per
+                    # new batch size (measured: the warm batched path is
+                    # ~4.3x the batch-1 path under 32-way load)
+                    fn = self._fns[which]
+                    b = 2
+                    while b <= self.batchers.max_batch:
+                        xb = jnp.zeros((b, hh, ww, 3), jnp.float32)
+                        np.asarray(fn(p, s, xb))
+                        b *= 2
                 logger.info("warmed %s at %dx%d (%.1fs)", name, hh, ww,
                             time.perf_counter() - t0)
 

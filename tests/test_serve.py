@@ -453,3 +453,45 @@ def test_mesh_sharded_serving_bit_exact():
     a = st_plain.enhance("denoise", png, "image/png", include_graph=False)
     b = st_mesh.enhance("denoise", png, "image/png", include_graph=False)
     assert a["denoised_image_base64"] == b["denoised_image_base64"]
+
+
+def test_microbatching_coalesces_and_matches_sequential():
+    """Concurrent same-shape requests must coalesce into fewer device
+    batches (serve/batching.py) and return outputs equal to the unbatched
+    forward (per-sample independence of eval-mode conv/BN)."""
+    import concurrent.futures
+
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    st_seq = ServeState(weights_dir="/nonexistent-weights", seed=5)
+    st_mb = ServeState(weights_dir="/nonexistent-weights", seed=5,
+                       microbatch_window_ms=30.0, microbatch_max=8)
+    from PIL import Image
+
+    rng = np.random.default_rng(6)
+    pngs = []
+    for i in range(6):
+        arr = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        pngs.append(buf.getvalue())
+
+    def run(st, png):
+        return st.enhance("dncnn", png, "image/png", include_graph=False)
+
+    seq = [run(st_seq, p)["denoised_image_base64"] for p in pngs]
+    run(st_mb, pngs[0])  # warm the jit so the timed window isn't compile-bound
+    with concurrent.futures.ThreadPoolExecutor(6) as ex:
+        mb = list(ex.map(lambda p: run(st_mb, p)["denoised_image_base64"],
+                         pngs))
+    # outputs match the sequential forward (PNG u8 may differ by <=1 from
+    # batched-vs-unbatched float noise; compare decoded pixels)
+    for a, b in zip(seq, mb):
+        ia = np.asarray(Image.open(io.BytesIO(base64.b64decode(a))), np.int16)
+        ib = np.asarray(Image.open(io.BytesIO(base64.b64decode(b))), np.int16)
+        assert np.max(np.abs(ia - ib)) <= 1
+    stats = st_mb.batchers.stats()
+    total_batches = sum(v["batches"] for v in stats.values())
+    total_requests = sum(v["requests"] for v in stats.values())
+    assert total_requests == 7  # 1 warm + 6 concurrent
+    assert total_batches < 7, f"no coalescing happened: {stats}"
