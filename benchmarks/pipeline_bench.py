@@ -81,7 +81,8 @@ def bench_train_path(paths, batch=64, out_hw=(128, 128), threads=(1, 2, 4, 8)):
     for nt in threads:
         pipe = DataPipeline(ds, batch, shuffle=False, num_threads=nt,
                             prefetch=2)
-        next(iter(pipe))  # warm (thread pool spin-up, first decode)
+        for _ in pipe:  # warm a FULL epoch: an abandoned iterator would
+            pass        # leak its producer thread into the timed runs
         t0 = time.perf_counter()
         n = 0
         while n < 4 * batch:  # several epochs of the small corpus

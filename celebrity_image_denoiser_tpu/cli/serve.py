@@ -62,6 +62,12 @@ def main(argv=None) -> int:
             from celebrity_image_denoiser_tpu.parallel import make_mesh
 
             mesh = make_mesh()
+        else:
+            import logging
+
+            logging.getLogger("cid_tpu.serve").warning(
+                "--spatial-shard requested but only 1 device is visible — "
+                "tall inputs will use the sequential single-device tiler")
     state = ServeState(weights_dir=args.weights_dir, mesh=mesh,
                        tile_threshold_rows=args.tile_threshold_rows,
                        microbatch_window_ms=args.microbatch_ms,

@@ -155,7 +155,11 @@ def main(argv=None) -> int:
                     "perceptual: NO trained weights found — SRGAN's content "
                     "loss will use RANDOM VGG features (pass --vgg-pth or "
                     "ship weights/perceptual)")
-        perceptual = make_vgg_perceptual(pd.net, pd.params, pd.state)
+        # the DAE tower was trained on [0,1]; torchvision/random towers keep
+        # the reference's feed-unshifted quirk
+        perceptual = make_vgg_perceptual(
+            pd.net, pd.params, pd.state,
+            to_unit=getattr(pd, "input_domain", "imagenet") == "unit")
 
     extra = False if args.extra_metrics == "off" else args.extra_metrics
     trainer = GANTrainer(gen, disc, pipeline, cfg, family=args.model,

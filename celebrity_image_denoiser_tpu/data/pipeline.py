@@ -66,10 +66,19 @@ class DataPipeline:
         self.num_threads = max(1, num_threads)
         self._epoch = 0
         self._spec = getattr(dataset, "raw_batch_spec", None)
-        if use_native is None:
-            from celebrity_image_denoiser_tpu.data import native
+        from celebrity_image_denoiser_tpu.data import native
 
+        if use_native is None:  # auto
             use_native = self._spec is not None and native.available()
+        elif use_native:  # explicit request: fail fast, not mid-epoch
+            if self._spec is None:
+                raise ValueError(
+                    "use_native=True but the dataset exposes no "
+                    "raw_batch_spec (needs raw() + fixed sizes)")
+            if not native.available():
+                raise RuntimeError(
+                    "use_native=True but the native C++ stage is not "
+                    "available (data/_native build failed?)")
         self.use_native = bool(use_native and self._spec is not None)
         self._pool = None
 

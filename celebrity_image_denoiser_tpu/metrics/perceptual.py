@@ -35,13 +35,22 @@ _TAPS = ("3", "8", "15")
 class PerceptualDistance:
     """d(a, b) per image; a, b NHWC in [0,1]."""
 
-    def __init__(self, params=None, state=None, seed: int = 0):
+    def __init__(self, params=None, state=None, seed: int = 0,
+                 input_domain: str = "imagenet"):
+        """``input_domain``: what preprocessing the tower was trained with —
+        "imagenet" (torchvision weights / random init: [0,1] inputs get
+        ImageNet mean/std) or "unit" (the in-repo DAE tower, trained on raw
+        [0,1]: no shift — feeding it ImageNet-normalized values would run
+        the features far outside their training range)."""
+        if input_domain not in ("imagenet", "unit"):
+            raise ValueError(f"unknown input_domain {input_domain!r}")
         self.net = VGGFeatures()
         if params is None:
             params, state = self.net.init(prng.key(seed))
             self.pretrained = False
         else:
             self.pretrained = True
+        self.input_domain = input_domain
         self.params, self.state = params, state
         self._fn = jax.jit(self._distance)
 
@@ -59,8 +68,9 @@ class PerceptualDistance:
         return outs
 
     def _distance(self, a, b):
-        a = (a - _MEAN) / _STD
-        b = (b - _MEAN) / _STD
+        if self.input_domain == "imagenet":
+            a = (a - _MEAN) / _STD
+            b = (b - _MEAN) / _STD
         fa, fb = self._taps(a), self._taps(b)
         total = 0.0
         for xa, xb in zip(fa, fb):
@@ -95,7 +105,8 @@ class PerceptualDistance:
         sections, _ = ckpt_lib.load_checkpoint(path)
         if "vgg" not in sections:
             raise ValueError(f"{path} has no 'vgg' section")
-        return cls(sections["vgg"], sections.get("vgg_state", state) or state)
+        return cls(sections["vgg"], sections.get("vgg_state", state) or state,
+                   input_domain="unit")
 
     @classmethod
     def default(cls, seed: int = 0):

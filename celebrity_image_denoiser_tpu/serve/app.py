@@ -165,17 +165,27 @@ def create_fastapi_app(weights_dir: Optional[str] = None,
                       cond_file: Optional[UploadFile] = File(default=None)):
         # label arrives as a raw string so a bad value 400s exactly like the
         # stdlib server (FastAPI's int coercion would 422 instead)
+        import functools
+
+        from starlette.concurrency import run_in_threadpool
+
+        file_bytes = await file.read()
+        cond_bytes = await cond_file.read() if cond_file else None
         try:
-            return run_enhance(
+            # the enhance path blocks (device compute, matplotlib, and the
+            # micro-batcher's window sleep/Event wait) — run it off the
+            # event loop or concurrent requests could never coalesce
+            return await run_in_threadpool(functools.partial(
+                run_enhance,
                 st,
                 model=model,
-                file_bytes=await file.read(),
+                file_bytes=file_bytes,
                 content_type=file.content_type or "",
                 cgan_backend=cgan_backend,
                 label_raw=label,
-                cond_bytes=await cond_file.read() if cond_file else None,
+                cond_bytes=cond_bytes,
                 graphs_raw=graphs,
-            )
+            ))
         except EnhanceError as e:
             raise HTTPException(status_code=e.status, detail=e.detail)
 

@@ -60,16 +60,19 @@ class MicroBatcher:
                 batch = self.pending
                 self.pending = []
             self._run(batch)
-        if not box["ev"].wait(timeout=300):
-            raise RuntimeError("micro-batch leader did not complete")
+        # no timeout: the leader's finally-block always sets every event,
+        # and a compile for a new padded-batch shape can legitimately take
+        # minutes on a tunneled backend — a deadline here would turn that
+        # into spurious 500s for work that completes
+        box["ev"].wait()
         if "err" in box:
             raise box["err"]
         return box["y"]
 
     def _run(self, batch):
-        try:
-            for start in range(0, len(batch), self.max_batch):
-                chunk = batch[start:start + self.max_batch]
+        for start in range(0, len(batch), self.max_batch):
+            chunk = batch[start:start + self.max_batch]
+            try:
                 n = len(chunk)
                 padded = _pow2_at_least(n, self.max_batch)
                 xs = jnp.concatenate(
@@ -81,12 +84,13 @@ class MicroBatcher:
                     self.requests_served += n
                 for i, b in enumerate(chunk):
                     b["y"] = ys[i:i + 1]
-        except Exception as e:  # propagate to every waiter
-            for b in batch:
-                b["err"] = e
-        finally:
-            for b in batch:
-                b["ev"].set()
+            except Exception as e:  # fail THIS chunk's waiters only —
+                # earlier chunks' results are already computed and valid
+                for b in chunk:
+                    b["err"] = e
+            finally:
+                for b in chunk:
+                    b["ev"].set()
 
 
 class BatcherPool:

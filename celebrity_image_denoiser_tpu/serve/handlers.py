@@ -71,7 +71,9 @@ def run_enhance(st: "ServeState", *, model: str, file_bytes: bytes,
     FastAPI) — label parsing (400, not framework-specific 422) and the
     ``graphs=false`` figure opt-out behave identically on both."""
     label = None
-    if label_raw not in (None, ""):
+    if label_raw is not None:
+        # an empty/garbage label field is a 400, same as the stdlib server
+        # always returned — absence is only the field not being sent
         try:
             label = int(str(label_raw).strip())
         except ValueError:
@@ -238,16 +240,24 @@ class ServeState:
                 x = jnp.zeros((1, hh, ww, 3), jnp.float32)
                 np.asarray(self._forward(which, m, p, s, x))
                 if self.batchers is not None:
-                    # also precompile each pow-2 micro-batch occupancy: the
-                    # first loaded burst otherwise eats one XLA compile per
-                    # new batch size (measured: the warm batched path is
-                    # ~4.3x the batch-1 path under 32-way load)
+                    # also precompile every batch size MicroBatcher can
+                    # actually dispatch — the pow2 series capped at
+                    # max_batch, INCLUDING a non-pow2 max itself
+                    # (batching._pow2_at_least) — else the first loaded
+                    # burst eats one XLA compile per new size (measured:
+                    # the warm batched path is ~4.3x batch-1 at 32-way)
                     fn = self._fns[which]
+                    mb = self.batchers.max_batch
+                    series = []
                     b = 2
-                    while b <= self.batchers.max_batch:
+                    while b < mb:
+                        series.append(b)
+                        b *= 2
+                    if mb > 1:
+                        series.append(mb)
+                    for b in series:
                         xb = jnp.zeros((b, hh, ww, 3), jnp.float32)
                         np.asarray(fn(p, s, xb))
-                        b *= 2
                 logger.info("warmed %s at %dx%d (%.1fs)", name, hh, ww,
                             time.perf_counter() - t0)
 

@@ -36,12 +36,18 @@ def bce_with_logits(logits: jax.Array, target: jax.Array) -> jax.Array:
     )
 
 
-def make_vgg_perceptual(vgg_model, vgg_params, vgg_state):
+def make_vgg_perceptual(vgg_model, vgg_params, vgg_state, to_unit=False):
     """Returns loss(x, y) = MSE(vgg(x), vgg(y)) with frozen features —
-    ``VGGPerceptualLoss`` (training.py:101-111).  Inputs in the model's
-    native range ([-1,1] for SRGAN); the reference feeds them unshifted."""
+    ``VGGPerceptualLoss`` (training.py:101-111).  Inputs arrive in the
+    model's native range ([-1,1] for SRGAN); the reference feeds torchvision
+    VGG unshifted (a quirk we keep for that tower).  ``to_unit=True`` maps
+    [-1,1]→[0,1] first — required for the in-repo DAE tower
+    (weights/perceptual), which was trained on raw [0,1] inputs."""
 
     def loss(x, y):
+        if to_unit:
+            x = x * 0.5 + 0.5
+            y = y * 0.5 + 0.5
         fx, _ = vgg_model.apply(vgg_params, vgg_state, x)
         fy, _ = vgg_model.apply(vgg_params, vgg_state, y)
         return mse(fx, fy)

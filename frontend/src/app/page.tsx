@@ -104,7 +104,12 @@ export default function HomePage() {
               min={0}
               max={9}
               value={label}
-              onChange={(e) => setLabel(Number(e.target.value))}
+              onChange={(e) => {
+                // cleared/invalid field falls back to the reference's
+                // default label 5 (Number("") is 0, not absent)
+                const v = Number(e.target.value);
+                setLabel(e.target.value !== "" && Number.isFinite(v) ? v : 5);
+              }}
               className="w-16 rounded border border-slate-700 bg-slate-950 px-2 py-1"
             />
           </label>

@@ -78,6 +78,7 @@ def load_perceptual(path: str):
 
     vgg = M.VGGFeatures()
     vp, vs = vgg.init(prng.key(99))
+    trained = False
     if not path:
         cand = os.path.join(_REPO, "weights", "perceptual")
         path = cand if os.path.isdir(cand) else None
@@ -85,10 +86,13 @@ def load_perceptual(path: str):
         sections, _ = ckpt_lib.load_checkpoint(path)
         vp = sections.get("vgg", vp)
         vs = sections.get("vgg_state", vs) or vs
+        trained = True
         print(f"perceptual: loaded trained tower from {path}")
     else:
         print("perceptual: WARNING random-init VGG features")
-    return make_vgg_perceptual(vgg, vp, vs)
+    # the DAE tower was trained on raw [0,1] inputs -> map the trainer's
+    # [-1,1] tensors back to its domain
+    return make_vgg_perceptual(vgg, vp, vs, to_unit=trained)
 
 
 def train_family(args) -> None:

@@ -147,3 +147,30 @@ def test_srgan_perceptual_loss_uses_trained_features():
     b = jnp.clip(a + 0.2, 0, 1)
     assert float(loss(a, a)) == 0.0
     assert float(loss(a, b)) > 0.0
+
+
+def test_perceptual_dae_tower_skips_imagenet_shift():
+    """The in-repo DAE tower was trained on raw [0,1] — from_npz must mark
+    input_domain='unit' and _distance must not ImageNet-normalize (review
+    r2 #2).  Equal pure-white inputs prove the point: under the wrong shift
+    they'd sit ~2.2σ outside the training range."""
+    import os
+
+    from celebrity_image_denoiser_tpu.core.config import default_weights_dir
+
+    path = os.path.join(default_weights_dir(), "perceptual")
+    if not os.path.isdir(path):
+        pytest.skip("no shipped perceptual tower")
+    pd = metrics.PerceptualDistance.from_npz(path)
+    assert pd.input_domain == "unit"
+    tv = metrics.PerceptualDistance(seed=0)
+    assert tv.input_domain == "imagenet"
+    # and the srgan CLI path converts [-1,1] to the tower's domain: the
+    # loss of identical tensors is 0 and of different tensors positive
+    from celebrity_image_denoiser_tpu.train.losses import make_vgg_perceptual
+
+    loss = make_vgg_perceptual(pd.net, pd.params, pd.state, to_unit=True)
+    a = jnp.zeros((1, 16, 16, 3)) - 0.5  # [-1,1] domain input
+    b = jnp.zeros((1, 16, 16, 3)) + 0.5
+    assert float(loss(a, a)) == 0.0
+    assert float(loss(a, b)) > 0.0

@@ -495,3 +495,49 @@ def test_microbatching_coalesces_and_matches_sequential():
     total_requests = sum(v["requests"] for v in stats.values())
     assert total_requests == 7  # 1 warm + 6 concurrent
     assert total_batches < 7, f"no coalescing happened: {stats}"
+
+
+def test_empty_label_is_400(server):
+    """label='' must 400 like the stdlib server always did (review r2 #6)."""
+    from celebrity_image_denoiser_tpu.serve.handlers import (
+        EnhanceError,
+        run_enhance,
+    )
+
+    st = _server_state[server]
+    with pytest.raises(EnhanceError) as ei:
+        run_enhance(st, model="cgan", file_bytes=_png_bytes(),
+                    content_type="image/png", label_raw="")
+    assert ei.value.status == 400
+
+
+def test_microbatch_chunk_error_isolated():
+    """A failure in a later chunk must not poison earlier chunks' computed
+    results (review r2 #4)."""
+    import concurrent.futures
+
+    import jax.numpy as jnp
+
+    from celebrity_image_denoiser_tpu.serve.batching import MicroBatcher
+
+    calls = []
+
+    def fn(xs):
+        calls.append(xs.shape[0])
+        if len(calls) > 1:  # second chunk fails
+            raise RuntimeError("boom")
+        return xs * 2.0
+
+    mb = MicroBatcher(fn, window_ms=100.0, max_batch=4)
+    xs = [jnp.full((1, 2), float(i)) for i in range(6)]
+    with concurrent.futures.ThreadPoolExecutor(6) as ex:
+        futs = [ex.submit(mb, x) for x in xs]
+        results = []
+        for f in futs:
+            try:
+                results.append(np.asarray(f.result()))
+            except RuntimeError:
+                results.append(None)
+    ok = [r for r in results if r is not None]
+    failed = [r for r in results if r is None]
+    assert len(ok) == 4 and len(failed) == 2  # chunk1 of 4 fine, chunk2 raises
