@@ -9,6 +9,10 @@ hand kernel without receipts).  Kernels:
   a multi-op jax.random sequence in the training input path.
 * conv3x3_bias_act — implicit-GEMM 3×3 same-conv with fused bias + ReLU
   (shifted-matmul formulation driving the MXU).
+* double_conv3x3_relu — the U-Net's conv→ReLU→conv→ReLU block fused in one
+  kernel (intermediate stays in VMEM; optional K=9·C MXU packing).  On-chip
+  receipt says XLA's pair is faster (benchmarks/kernel_notes.md) — kept as
+  a verified experiment, not the dispatch.
 """
 
 from celebrity_image_denoiser_tpu.ops.pallas.noise_kernel import (  # noqa: F401
@@ -16,4 +20,7 @@ from celebrity_image_denoiser_tpu.ops.pallas.noise_kernel import (  # noqa: F401
 )
 from celebrity_image_denoiser_tpu.ops.pallas.conv_fused import (  # noqa: F401
     conv3x3_bias_relu,
+)
+from celebrity_image_denoiser_tpu.ops.pallas.double_conv import (  # noqa: F401
+    double_conv3x3_relu,
 )
