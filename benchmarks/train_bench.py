@@ -42,7 +42,8 @@ CONFIGS = {
 }
 
 
-def bench_family(family: str, steps: int, chunk: int):
+def bench_family(family: str, steps: int, chunk: int,
+                 compute_dtype: str = "float32"):
     sys.path.insert(0, os.path.join(_REPO, "scripts"))
     from train_serving_weights import build_models, load_perceptual
 
@@ -61,6 +62,7 @@ def bench_family(family: str, steps: int, chunk: int):
         noise_variant=FAMILY_NOISE_VARIANT.get(family, 1),
         donate=False,
         sr_scale=4 if family == "srgan" else 1,
+        compute_dtype=compute_dtype,
     )
 
     def run_chunk(carry, key, lr):
@@ -95,10 +97,14 @@ def main():
     ap.add_argument("--family", default=None, choices=list(CONFIGS))
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--chunk", type=int, default=20)
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
     fams = [args.family] if args.family else list(CONFIGS)
     for f in fams:
-        print(json.dumps(bench_family(f, args.steps, args.chunk)), flush=True)
+        r = bench_family(f, args.steps, args.chunk, args.compute_dtype)
+        r["compute_dtype"] = args.compute_dtype
+        print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize generator activations (jax.checkpoint)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-data-parallel", action="store_true")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16: model fwd/bwd in bf16 with f32 MXU "
+                        "accumulation (params/optimizer/metrics stay f32)")
     p.add_argument("--extra-metrics", default="off",
                    choices=["off", "epoch", "batch"],
                    help="LPIPS-style + MS-SSIM history: 'batch' computes "
@@ -84,6 +88,7 @@ def main(argv=None) -> int:
         noise_variant=args.noise_variant,
         remat=args.remat,
         data_parallel=not args.no_data_parallel,
+        compute_dtype=args.compute_dtype,
     )
     # numeric domain per family: esrgan/dncnn train in [0,1]; others [-1,1]
     zero_one_family = args.model in ("esrgan", "dncnn")

@@ -74,6 +74,9 @@ class TrainConfig:
     # metric evaluation on device every step (reference ping-pongs to CPU
     # per batch, training.py:378-392; we default to on-device).
     eval_on_device: bool = True
+    # mixed precision: "bfloat16" runs model fwd/bwd in bf16 (f32 MXU accum,
+    # f32 params/optimizer/losses); "float32" = full precision (default)
+    compute_dtype: str = "float32"
 
 
 # the noise variant each reference training pipeline uses (SURVEY.md §2:

@@ -51,6 +51,14 @@ def conv2d(
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     dh, dw = _pair(dilation)
+    # a preferred_element_type that differs from the operand dtype makes the
+    # conv untransposable under AD (the f32 cotangent mismatches the bf16
+    # operands in the grad convs); on TPU the MXU accumulates bf16 convs in
+    # f32 at the hardware level regardless, so low-precision inputs keep
+    # their own output dtype — numerically identical up to the same final
+    # rounding the .astype below applied anyway.
+    pet = preferred_dtype if jnp.dtype(x.dtype) == jnp.dtype(preferred_dtype) \
+        else None
     y = lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
@@ -59,7 +67,7 @@ def conv2d(
         rhs_dilation=(dh, dw),
         dimension_numbers=DIMENSION_NUMBERS,
         feature_group_count=groups,
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=pet,
     ).astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)
@@ -93,6 +101,8 @@ def conv2d_transpose(
     # Flip spatially and swap the channel axes to HWIO with I=C_in, O=C_out.
     k = jnp.flip(kernel, axis=(0, 1))
     k = jnp.swapaxes(k, 2, 3)  # (kH, kW, C_in, C_out)
+    pet = preferred_dtype if jnp.dtype(x.dtype) == jnp.dtype(preferred_dtype) \
+        else None  # see conv2d: AD-transposability with low-precision inputs
     y = lax.conv_general_dilated(
         x,
         k.astype(x.dtype),
@@ -100,7 +110,7 @@ def conv2d_transpose(
         padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
         lhs_dilation=(sh, sw),
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=pet,
     ).astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)

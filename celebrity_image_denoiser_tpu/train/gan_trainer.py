@@ -89,6 +89,7 @@ def make_train_step(
     sr_scale: int = 1,
     dncnn_blind: bool = True,
     extras_fn: Optional[Callable] = None,
+    compute_dtype: Optional[str] = None,
 ):
     """Build (init_fn, step_fn).
 
@@ -110,11 +111,32 @@ def make_train_step(
     _, adam_update = optim.adam(adam_b1, adam_b2)
     adam_init, _ = optim.adam(adam_b1, adam_b2)
 
+    # mixed precision (compute_dtype="bfloat16"): model fwd/bwd run in bf16
+    # with f32 MXU accumulation (nn layers cast kernels to the input dtype);
+    # params, optimizer state, losses and metrics stay f32 — outputs are
+    # cast back at the model boundary so everything numeric downstream is
+    # unchanged in dtype.
+    cdt = None if compute_dtype in (None, "float32") else compute_dtype
+
+    def _wrap(apply):
+        if cdt is None:
+            return apply
+
+        from celebrity_image_denoiser_tpu.core import dtypes
+
+        def f(p, s, x, train=True):
+            y, ns = apply(p, s, dtypes.cast_to(x, cdt), train=train)
+            return y.astype(jnp.float32), ns
+
+        return f
+
+    d_apply = _wrap(discriminator.apply) if discriminator is not None else None
+
     # generator forward used inside the step (always train mode there); with
     # remat the activations are rematerialized in the backward pass — trades
     # FLOPs for HBM, raising the trainable batch size (jax.checkpoint)
     def _g_fwd(p, s, x):
-        return generator.apply(p, s, x, train=True)
+        return _wrap(generator.apply)(p, s, x, train=True)
 
     g_fwd = jax.checkpoint(_g_fwd) if remat else _g_fwd
 
@@ -179,8 +201,8 @@ def make_train_step(
         fake_detached = jax.lax.stop_gradient(fake0)
 
         def d_loss_fn(dp):
-            real_pred, ds1 = discriminator.apply(dp, d_state, clean, train=True)
-            fake_pred, ds2 = discriminator.apply(dp, ds1, fake_detached, train=True)
+            real_pred, ds1 = d_apply(dp, d_state, clean, train=True)
+            fake_pred, ds2 = d_apply(dp, ds1, fake_detached, train=True)
             dl = d_crit(real_pred, 1.0) + d_crit(fake_pred, 0.0)
             if family == "esrgan":
                 dl = 0.5 * dl  # esrgan_train.py:110
@@ -193,8 +215,8 @@ def make_train_step(
             # joint update: G grads against the PRE-update discriminator
             def g_loss_fn(gp):
                 fake, gs = g_fwd(gp, g_state, noisy)
-                fake_pred, ds = discriminator.apply(d_params, d_state_after_d,
-                                                    fake, train=True)
+                fake_pred, ds = d_apply(d_params, d_state_after_d,
+                                        fake, train=True)
                 gl = d_crit(fake_pred, 1.0) + cgan_mae_weight * content_loss(fake, clean)
                 return gl, (gs, ds, fake)
 
@@ -208,8 +230,8 @@ def make_train_step(
 
             def g_loss_fn(gp):
                 fake, gs = g_fwd(gp, g_state, noisy)
-                fake_pred, ds = discriminator.apply(d_params_new, d_state_after_d,
-                                                    fake, train=True)
+                fake_pred, ds = d_apply(d_params_new, d_state_after_d,
+                                        fake, train=True)
                 gl = content_loss(fake, clean) + adv_weight * d_crit(fake_pred, 1.0)
                 return gl, (gs, ds, fake)
 
@@ -331,6 +353,7 @@ class GANTrainer:
             if self.family == "srgan" else 1,
             dncnn_blind=cfg.noise_variant is None,
             extras_fn=extras_fn,
+            compute_dtype=cfg.compute_dtype,
         )
         # eval fn jitted once (params/state as arguments — a per-call
         # closure would embed them as constants and recompile every epoch)
