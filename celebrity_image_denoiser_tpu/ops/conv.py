@@ -21,6 +21,26 @@ from jax import lax
 
 IntOr2 = Union[int, Tuple[int, int], Sequence[int]]
 
+# Trace-time flag: inside a differentiated training step, a low-precision
+# conv must not request a higher preferred_element_type — the f32 cotangent
+# at the primitive output mismatches the bf16 operands and lax.conv's
+# transpose rule rejects it.  Serving/inference keeps preferred=f32 (measured
+# ~6% faster on the 128² U-Net step than bf16-out convs).  The GAN trainer
+# sets this around its model applies (train/gan_trainer._wrap).
+import contextlib as _contextlib
+import contextvars as _contextvars
+
+_AD_SAFE = _contextvars.ContextVar("cid_conv_ad_safe", default=False)
+
+
+@_contextlib.contextmanager
+def ad_safe_low_precision():
+    tok = _AD_SAFE.set(True)
+    try:
+        yield
+    finally:
+        _AD_SAFE.reset(tok)
+
 # NHWC activations, HWIO kernels, NHWC outputs — the TPU-native layout.
 DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
 
@@ -51,14 +71,12 @@ def conv2d(
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     dh, dw = _pair(dilation)
-    # a preferred_element_type that differs from the operand dtype makes the
-    # conv untransposable under AD (the f32 cotangent mismatches the bf16
-    # operands in the grad convs); on TPU the MXU accumulates bf16 convs in
-    # f32 at the hardware level regardless, so low-precision inputs keep
-    # their own output dtype — numerically identical up to the same final
-    # rounding the .astype below applied anyway.
-    pet = preferred_dtype if jnp.dtype(x.dtype) == jnp.dtype(preferred_dtype) \
-        else None
+    # under AD (training), low-precision inputs keep their own output dtype
+    # (see ad_safe_low_precision above); the MXU accumulates bf16 convs in
+    # f32 at the hardware level either way.
+    pet = preferred_dtype
+    if _AD_SAFE.get() and jnp.dtype(x.dtype) != jnp.dtype(preferred_dtype):
+        pet = None
     y = lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
@@ -101,8 +119,9 @@ def conv2d_transpose(
     # Flip spatially and swap the channel axes to HWIO with I=C_in, O=C_out.
     k = jnp.flip(kernel, axis=(0, 1))
     k = jnp.swapaxes(k, 2, 3)  # (kH, kW, C_in, C_out)
-    pet = preferred_dtype if jnp.dtype(x.dtype) == jnp.dtype(preferred_dtype) \
-        else None  # see conv2d: AD-transposability with low-precision inputs
+    pet = preferred_dtype
+    if _AD_SAFE.get() and jnp.dtype(x.dtype) != jnp.dtype(preferred_dtype):
+        pet = None  # see conv2d: AD-transposability with low-precision inputs
     y = lax.conv_general_dilated(
         x,
         k.astype(x.dtype),

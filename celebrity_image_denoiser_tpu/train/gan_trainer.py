@@ -123,9 +123,14 @@ def make_train_step(
             return apply
 
         from celebrity_image_denoiser_tpu.core import dtypes
+        from celebrity_image_denoiser_tpu.ops.conv import (
+            ad_safe_low_precision,
+        )
 
         def f(p, s, x, train=True):
-            y, ns = apply(p, s, dtypes.cast_to(x, cdt), train=train)
+            # trace-time: convs inside must stay AD-transposable (bf16-out)
+            with ad_safe_low_precision():
+                y, ns = apply(p, s, dtypes.cast_to(x, cdt), train=train)
             return y.astype(jnp.float32), ns
 
         return f
