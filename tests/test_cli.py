@@ -147,3 +147,30 @@ def test_parsers_have_no_interactive_prompts():
     p = eval_cli.build_parser()
     args = p.parse_args(["--input-dir", "x", "--output-dir", "y"])
     assert args.iterations == 1
+
+
+def test_train_cli_data_parallel_mesh(tmp_path, rng_np):
+    """The default DP path: cli.train without --no-data-parallel builds a
+    mesh over the 8 virtual devices and runs the NamedSharding-jitted step
+    (batch must divide the device count)."""
+    import jax
+
+    from celebrity_image_denoiser_tpu.cli.train import main
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    # enough images that the 80% train split still fills a batch of 8
+    root = tmp_path / "Clean_dp"
+    d = root / "p"
+    d.mkdir(parents=True)
+    for i in range(14):
+        imageio.imwrite(str(d / f"img{i}.png"),
+                        rng_np.integers(0, 256, (20, 20, 3), dtype=np.uint8))
+    rc = main([
+        "--model", "dncnn", "--clean-dir", str(root),
+        "--num-epochs", "1", "--batch-size", "8", "--image-size", "16", "16",
+        "--checkpoint-dir", str(tmp_path / "ckdp"),
+        "--graph-dir", str(tmp_path / "gdp"),
+    ])
+    assert rc == 0
+    assert os.path.isdir(tmp_path / "ckdp" / "dncnn_epoch_0")
