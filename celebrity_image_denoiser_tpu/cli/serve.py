@@ -63,9 +63,9 @@ def main(argv=None) -> int:
 
             mesh = make_mesh()
         else:
-            import logging
+            from celebrity_image_denoiser_tpu.utils.logging import get_logger
 
-            logging.getLogger("cid_tpu.serve").warning(
+            get_logger("cid_tpu.serve").warning(
                 "--spatial-shard requested but only 1 device is visible — "
                 "tall inputs will use the sequential single-device tiler")
     state = ServeState(weights_dir=args.weights_dir, mesh=mesh,

@@ -41,11 +41,18 @@ class MicroBatcher:
 
     def __init__(self, fn: Callable, window_ms: float = 3.0,
                  max_batch: int = 16):
+        # validate up front: a failing leader must never be possible for
+        # config reasons — waiters block deadline-free on its finally-block
+        if not (window_ms >= 0):
+            raise ValueError(f"window_ms must be >= 0, got {window_ms}")
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.fn = fn
         self.window_s = window_ms / 1e3
         self.max_batch = max_batch
         self.lock = threading.Lock()
         self.pending = []  # list of dicts: {x, ev, y|err}
+        self._full = threading.Event()  # set when a full batch is waiting
         self.batches_run = 0  # observability / tests
         self.requests_served = 0
 
@@ -54,16 +61,40 @@ class MicroBatcher:
         with self.lock:
             self.pending.append(box)
             leader = len(self.pending) == 1
+            if len(self.pending) >= self.max_batch:
+                self._full.set()
         if leader:
-            time.sleep(self.window_s)
-            with self.lock:
-                batch = self.pending
-                self.pending = []
-            self._run(batch)
-        # no timeout: the leader's finally-block always sets every event,
-        # and a compile for a new padded-batch shape can legitimately take
-        # minutes on a tunneled backend — a deadline here would turn that
-        # into spurious 500s for work that completes
+            batch = []
+            try:
+                # wait up to the window, but dispatch immediately once a
+                # full batch has accumulated (no dead time at saturation)
+                self._full.wait(self.window_s)
+                with self.lock:
+                    batch = self.pending
+                    self.pending = []
+                    self._full.clear()
+                self._run(batch)
+            except BaseException as e:
+                # a leader failure outside _run's per-chunk handling must
+                # not strand waiters: fail everything this leader was
+                # responsible for (its drained batch, or — if it crashed
+                # before draining — the still-pending epoch).  Exception
+                # path ONLY: in normal flow a successor leader may already
+                # own the new pending list.
+                with self.lock:
+                    stranded = batch or self.pending
+                    if not batch:
+                        self.pending = []
+                    self._full.clear()
+                for b in stranded:
+                    if not b["ev"].is_set():
+                        b["err"] = e
+                        b["ev"].set()
+                raise
+        # no timeout for followers: the leader's try/finally always sets
+        # every event, and a compile for a new padded-batch shape can
+        # legitimately take minutes on a tunneled backend — a deadline here
+        # would turn that into spurious 500s for work that completes
         box["ev"].wait()
         if "err" in box:
             raise box["err"]

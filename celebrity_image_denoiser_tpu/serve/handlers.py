@@ -246,15 +246,16 @@ class ServeState:
                     # (batching._pow2_at_least) — else the first loaded
                     # burst eats one XLA compile per new size (measured:
                     # the warm batched path is ~4.3x batch-1 at 32-way)
+                    from celebrity_image_denoiser_tpu.serve.batching import (
+                        _pow2_at_least,
+                    )
+
                     fn = self._fns[which]
                     mb = self.batchers.max_batch
-                    series = []
-                    b = 2
-                    while b < mb:
-                        series.append(b)
-                        b *= 2
-                    if mb > 1:
-                        series.append(mb)
+                    # exactly the occupancies MicroBatcher can dispatch —
+                    # derived from its padding policy so they can't drift
+                    series = sorted({_pow2_at_least(n, mb)
+                                     for n in range(2, mb + 1)})
                     for b in series:
                         xb = jnp.zeros((b, hh, ww, 3), jnp.float32)
                         np.asarray(fn(p, s, xb))

@@ -15,12 +15,17 @@ import numpy as np
 
 
 def fig_to_base64(fig) -> str:
-    import matplotlib.pyplot as plt
-
+    """Works for both pyplot-managed figures and bare Figure objects; uses
+    only per-figure methods (no pyplot global current-figure state)."""
     buf = io.BytesIO()
-    plt.tight_layout()
+    fig.tight_layout()
     fig.savefig(buf, format="PNG")
-    plt.close(fig)
+    try:  # release pyplot's registry entry if this figure is registered
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+    except Exception:
+        pass
     buf.seek(0)
     return base64.b64encode(buf.read()).decode("utf-8")
 
@@ -41,15 +46,17 @@ def _panel_view(img: np.ndarray) -> np.ndarray:
 
 
 def make_graphs(input_vis: np.ndarray, output_vis: np.ndarray) -> str:
-    """input_vis/output_vis: float HWC in [0,1] (the cropped view tensors)."""
-    import matplotlib
+    """input_vis/output_vis: float HWC in [0,1] (the cropped view tensors).
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    Built with the object-oriented Figure API (no pyplot): the serving
+    stack renders figures from concurrent request threads, and pyplot's
+    global current-figure registry is not thread-safe."""
+    from matplotlib.figure import Figure
 
     noise = np.asarray(input_vis, np.float32) - np.asarray(output_vis, np.float32)
     noise_panel = _panel_view(noise)
-    fig, axs = plt.subplots(1, 3, figsize=(15, 5))
+    fig = Figure(figsize=(15, 5))
+    axs = fig.subplots(1, 3)
     axs[0].imshow(np.clip(noise_panel * 0.5 + 0.5, 0, 1))
     axs[0].set_title("Noise Map (Input - Output)")
     axs[0].axis("off")

@@ -16,7 +16,7 @@ export default function HomePage() {
   // cGAN conditioning: optional condition image + class label
   // (reference page.tsx appends label "5" and an optional cond_file)
   const [condFile, setCondFile] = useState<File | undefined>(undefined);
-  const [label, setLabel] = useState(5);
+  const [label, setLabel] = useState("5");
   const [active, setActive] = useState<ModelName>("denoise");
   const [busy, setBusy] = useState(false);
   const [cards, setCards] = useState<Record<ModelName, CardState>>(
@@ -36,7 +36,11 @@ export default function HomePage() {
       if (!file) return;
       setCard(m, { kind: "running" });
       try {
-        const r = await enhance(m, file, { label, condFile });
+        // coerce at submit time (not per keystroke, which would fight the
+        // user's editing); blank/invalid falls back to the reference's 5
+        const n = Number(label);
+        const lbl = label !== "" && Number.isFinite(n) ? n : 5;
+        const r = await enhance(m, file, { label: lbl, condFile });
         setCard(m, { kind: "done", ...r });
       } catch (err) {
         setCard(m, {
@@ -104,12 +108,7 @@ export default function HomePage() {
               min={0}
               max={9}
               value={label}
-              onChange={(e) => {
-                // cleared/invalid field falls back to the reference's
-                // default label 5 (Number("") is 0, not absent)
-                const v = Number(e.target.value);
-                setLabel(e.target.value !== "" && Number.isFinite(v) ? v : 5);
-              }}
+              onChange={(e) => setLabel(e.target.value)}
               className="w-16 rounded border border-slate-700 bg-slate-950 px-2 py-1"
             />
           </label>

@@ -84,11 +84,12 @@ def load_perceptual(path: str):
         path = cand if os.path.isdir(cand) else None
     if path:
         sections, _ = ckpt_lib.load_checkpoint(path)
+        trained = "vgg" in sections  # only a real tower flips the domain
         vp = sections.get("vgg", vp)
         vs = sections.get("vgg_state", vs) or vs
-        trained = True
-        print(f"perceptual: loaded trained tower from {path}")
-    else:
+        if trained:
+            print(f"perceptual: loaded trained tower from {path}")
+    if not trained:
         print("perceptual: WARNING random-init VGG features")
     # the DAE tower was trained on raw [0,1] inputs -> map the trainer's
     # [-1,1] tensors back to its domain

@@ -541,3 +541,31 @@ def test_microbatch_chunk_error_isolated():
     ok = [r for r in results if r is not None]
     failed = [r for r in results if r is None]
     assert len(ok) == 4 and len(failed) == 2  # chunk1 of 4 fine, chunk2 raises
+
+
+def test_microbatcher_config_validation_and_early_dispatch():
+    """Invalid window/max must raise at construction (a crashed leader would
+    strand deadline-free waiters); a full batch dispatches before the window
+    elapses (review r2 pass-2)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from celebrity_image_denoiser_tpu.serve.batching import MicroBatcher
+
+    with pytest.raises(ValueError):
+        MicroBatcher(lambda x: x, window_ms=-1)
+    with pytest.raises(ValueError):
+        MicroBatcher(lambda x: x, max_batch=0)
+
+    import concurrent.futures
+
+    mb = MicroBatcher(lambda xs: xs * 2.0, window_ms=5000.0, max_batch=4)
+    xs = [jnp.full((1, 2), float(i)) for i in range(4)]
+    t0 = _time.perf_counter()
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        out = list(ex.map(mb, xs))
+    dt = _time.perf_counter() - t0
+    assert dt < 4.0, f"full batch should dispatch early, took {dt:.1f}s"
+    for i, y in enumerate(out):
+        assert float(np.asarray(y)[0, 0]) == 2.0 * i
