@@ -224,3 +224,35 @@ def test_train_val_test_split_three_way():
     assert (tr, va, te) == (tr2, va2, te2)
     with pytest.raises(ValueError):
         train_val_test_split([])
+
+
+def test_native_pipeline_with_dp_sharding(tmp_path, rng_np):
+    """The full input-boundary stack at once: raw() decode threads -> C++
+    batch assembly -> device_put with a DP NamedSharding — batches land
+    sharded over the 8-device mesh exactly as the trainer consumes them."""
+    import jax
+
+    from celebrity_image_denoiser_tpu.data import native
+    from celebrity_image_denoiser_tpu.data.datasets import CleanImageDataset
+    from celebrity_image_denoiser_tpu.data.pipeline import DataPipeline
+
+    if not native.available():
+        pytest.skip("native stage not built")
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from celebrity_image_denoiser_tpu.parallel import batch_sharding, make_mesh
+
+    d = tmp_path / "clean" / "p"
+    d.mkdir(parents=True)
+    for i in range(12):
+        imageio.imwrite(str(d / f"{i}.png"),
+                        rng_np.integers(0, 256, (20, 20, 3), dtype=np.uint8))
+    ds = CleanImageDataset(str(tmp_path / "clean"), image_size=(16, 16),
+                           normalize=True, test_split=0.1)
+    mesh = make_mesh()
+    pipe = DataPipeline(ds, 8, shuffle=False,
+                        sharding=batch_sharding(mesh))
+    assert pipe.use_native
+    batch = next(iter(pipe))
+    assert batch.shape == (8, 16, 16, 3)
+    assert len(batch.sharding.device_set) == 8
