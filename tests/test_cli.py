@@ -174,3 +174,35 @@ def test_train_cli_data_parallel_mesh(tmp_path, rng_np):
     ])
     assert rc == 0
     assert os.path.isdir(tmp_path / "ckdp" / "dncnn_epoch_0")
+
+
+def test_reference_offline_workflow_end_to_end(clean_tree, tmp_path):
+    """The reference's full 3-stage offline flow (SURVEY §3.4) through the
+    CLIs: render a noisy dataset to disk (stage 1), train from the disk
+    pairs with --no-on-the-fly (stage 3, the reference-parity pipeline),
+    then batch-eval with the produced checkpoint."""
+    from celebrity_image_denoiser_tpu.cli.eval import main as eval_main
+    from celebrity_image_denoiser_tpu.cli.noise_gen import main as noise_main
+    from celebrity_image_denoiser_tpu.cli.train import main as train_main
+
+    noisy_dir = str(tmp_path / "Dataset_Noise")
+    assert noise_main(["--clean-dir", clean_tree, "--out-dir", noisy_dir,
+                       "--image-size", "16", "16", "--types", "gaussian",
+                       "--batch", "8"]) == 0
+    ck = str(tmp_path / "ckw")
+    assert train_main([
+        "--model", "denoise", "--clean-dir", clean_tree,
+        "--noisy-dir", noisy_dir, "--no-on-the-fly",
+        "--noise-variant", "1",
+        "--num-epochs", "1", "--batch-size", "2", "--image-size", "16", "16",
+        "--checkpoint-dir", ck, "--graph-dir", str(tmp_path / "gw"),
+        "--no-data-parallel",
+    ]) == 0
+    ckpt = os.path.join(ck, "denoise_epoch_0")
+    assert os.path.isdir(ckpt)
+    out = str(tmp_path / "outw")
+    assert eval_main(["--model", "denoise", "--checkpoint", ckpt,
+                      "--input-dir", os.path.join(noisy_dir, "gaussian"),
+                      "--output-dir", out, "--image-size", "16", "16",
+                      "--clean-dir", clean_tree]) == 0
+    assert len(imageio.list_images(out)) > 0
