@@ -11,9 +11,10 @@ framework lock-in:
 * cGAN tf.data cache (DataP2.py:26-108: pair images, report unmatched,
   shuffle, ``tf.data.Dataset.save``): ``pair_with_report`` reproduces the
   pairing + unmatched-files report; ``build_tensor_cache`` is the cache
-  writer (the reference's deletion of corrupt files, sr_ganpreprocess.py:
-  34-41, is intentionally NOT reproduced — corrupt files are skipped and
-  reported, never unlinked).
+  writer.  The reference's deletion of corrupt/unpaired files
+  (sr_ganpreprocess.py:34-41,116-133) is reproduced ONLY behind the
+  explicit ``validate_dataset(delete_corrupt=True)`` opt-in; every default
+  path skips and reports, never unlinks.
 """
 
 from __future__ import annotations
@@ -46,6 +47,44 @@ def pair_with_report(
             "pairing report: %d unmatched noisy, %d unmatched clean",
             len(report["unmatched_noisy"]), len(report["unmatched_clean"]))
     return [(noisy[k], clean[k]) for k in matched], report
+
+
+def validate_dataset(
+    noisy_dir: str, clean_dir: str, *, delete_corrupt: bool = False
+) -> Dict[str, List[str]]:
+    """The TF loader's dataset hygiene pass (sr_ganpreprocess.py:34-41,
+    116-133): find undecodable and unpaired files.  The reference DELETES
+    them from disk; here deletion is an explicit opt-in (``delete_corrupt``)
+    and the default only reports — destroying user data silently is the one
+    reference behavior not worth parity by default.
+
+    Returns {"corrupt": [...], "unmatched_noisy": [...],
+    "unmatched_clean": [...], "deleted": [...]}."""
+    pairs, report = pair_with_report(noisy_dir, clean_dir)
+    corrupt: List[str] = []
+    for np_, cp_ in pairs:
+        for p in (np_, cp_):
+            try:
+                imageio.imread_rgb(p)
+            except Exception as e:
+                logger.warning("corrupt image %s: %s", p, e)
+                corrupt.append(p)
+    report = dict(report, corrupt=sorted(set(corrupt)), deleted=[])
+    if delete_corrupt:
+        to_delete = (report["corrupt"]
+                     + [os.path.join(noisy_dir, r)
+                        for r in report["unmatched_noisy"]]
+                     + [os.path.join(clean_dir, r)
+                        for r in report["unmatched_clean"]])
+        for p in to_delete:
+            try:
+                os.remove(p)
+                report["deleted"].append(p)
+                logger.warning("deleted %s (reference cleanup behavior, "
+                               "sr_ganpreprocess.py:34-41)", p)
+            except OSError as e:
+                logger.warning("could not delete %s: %s", p, e)
+    return report
 
 
 def build_tensor_cache(
@@ -104,24 +143,14 @@ class TensorPairDataset:
             return None
 
 
-def train_val_test_split(
-    items: Sequence, val: float = 0.1, test: float = 0.1, seed: int = 42
-):
-    """Three-way split (80/10/10 default) matching the cGAN trainer's
-    two-stage sklearn split (training5Pbar.py:132-162): first carve out
-    ``test``, then ``val`` from the remainder."""
-    items = list(items)
-    try:
-        from sklearn.model_selection import train_test_split as tts
+def train_val_test_split(items: Sequence, val: float = 0.1,
+                         test: float = 0.1, seed: int = 42):
+    """Back-compat shim over datasets.train_val_test_split (the exact
+    reference split order: train carved first, then val vs test —
+    training5Pbar.py:138-139)."""
+    from celebrity_image_denoiser_tpu.data.datasets import (
+        train_val_test_split as _tvts,
+    )
 
-        rest, test_set = tts(items, test_size=test, random_state=seed)
-        train_set, val_set = tts(rest, test_size=val / (1 - test), random_state=seed)
-    except ImportError:
-        rng = np.random.default_rng(seed)
-        idx = rng.permutation(len(items))
-        n_test = int(round(len(items) * test))
-        n_val = int(round(len(items) * val))
-        test_set = [items[i] for i in idx[:n_test]]
-        val_set = [items[i] for i in idx[n_test : n_test + n_val]]
-        train_set = [items[i] for i in idx[n_test + n_val :]]
-    return train_set, val_set, test_set
+    return _tvts(items, train_split=1.0 - val - test, val_split=val,
+                 seed=seed)

@@ -256,3 +256,33 @@ def test_native_pipeline_with_dp_sharding(tmp_path, rng_np):
     batch = next(iter(pipe))
     assert batch.shape == (8, 16, 16, 3)
     assert len(batch.sharding.device_set) == 8
+
+
+def test_validate_dataset_reports_and_optin_deletes(tmp_path, rng_np):
+    """The reference's dataset hygiene pass (sr_ganpreprocess.py:34-41)
+    deletes corrupt/unpaired files; here deletion requires an explicit
+    opt-in and the default only reports."""
+    from celebrity_image_denoiser_tpu.data.caching import validate_dataset
+
+    nd = tmp_path / "noisy"
+    cd = tmp_path / "clean"
+    nd.mkdir()
+    cd.mkdir()
+    img = rng_np.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    imageio.imwrite(str(nd / "a.png"), img)
+    imageio.imwrite(str(cd / "a.png"), img)
+    (nd / "broken.png").write_bytes(b"not a png")
+    (cd / "broken.png").write_bytes(b"also not a png")
+    imageio.imwrite(str(nd / "orphan.png"), img)  # unpaired
+
+    report = validate_dataset(str(nd), str(cd))
+    assert len(report["corrupt"]) == 2
+    assert report["unmatched_noisy"] == ["orphan.png"]
+    assert report["deleted"] == []
+    assert (nd / "broken.png").exists()  # default never deletes
+
+    report = validate_dataset(str(nd), str(cd), delete_corrupt=True)
+    assert len(report["deleted"]) == 3
+    assert not (nd / "broken.png").exists()
+    assert not (nd / "orphan.png").exists()
+    assert (nd / "a.png").exists() and (cd / "a.png").exists()
