@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-on-the-fly", action="store_true",
                    help="read pre-rendered noisy pairs from --noisy-dir "
                         "(reference-parity pipeline)")
+    p.add_argument("--tensor-cache", default=None,
+                   help="train from a prebuilt tensor-pair cache dir "
+                        "(data.caching.build_tensor_cache) — the reference "
+                        "ESRGAN pipeline trains from its .pt cache "
+                        "(esrgan_train.py:18-36); implies --no-on-the-fly")
     p.add_argument("--noise-variant", type=int, default=None, choices=[1, 2, 3],
                    help="default: the variant the reference uses for the "
                         "model family (v1 denoise, v2 srgan/cgan, v3 esrgan)")
@@ -84,7 +89,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
         graph_dir=args.graph_dir,
-        on_the_fly_noise=not args.no_on_the_fly,
+        on_the_fly_noise=not args.no_on_the_fly and not args.tensor_cache,
         noise_variant=args.noise_variant,
         remat=args.remat,
         data_parallel=not args.no_data_parallel,
@@ -101,7 +106,11 @@ def main(argv=None) -> int:
 
         mesh = make_mesh()
 
-    if cfg.on_the_fly_noise:
+    if args.tensor_cache:
+        from celebrity_image_denoiser_tpu.data.caching import TensorPairDataset
+
+        dataset = TensorPairDataset(args.tensor_cache)
+    elif cfg.on_the_fly_noise:
         # the jitted step always receives clean in [-1,1] on this path and
         # converts per family internally (gan_trainer.py); normalizing in
         # the dataset (not a wrapper) keeps the native C++ batch-assembly

@@ -159,9 +159,16 @@ class ServeState:
                 else:
                     raise FileNotFoundError(path)
             except Exception as e:
-                logger.warning(
-                    "[%s] checkpoint not loaded (%s). Using random init for "
-                    "that backend.", name, e)
+                if name == "cgan":
+                    # expected: the reference ships no torch cGAN .pth
+                    # either — serving defaults to the Keras backend below
+                    logger.info(
+                        "[cgan] no torch checkpoint (%s); the Keras backend "
+                        "is the serving default when its weights load", e)
+                else:
+                    logger.warning(
+                        "[%s] checkpoint not loaded (%s). Using random init "
+                        "for that backend.", name, e)
         keras_path = os.path.join(self.weights_dir, _CGAN_KERAS)
         try:
             model = M.CGANKerasGenerator()

@@ -206,3 +206,29 @@ def test_reference_offline_workflow_end_to_end(clean_tree, tmp_path):
                       "--output-dir", out, "--image-size", "16", "16",
                       "--clean-dir", clean_tree]) == 0
     assert len(imageio.list_images(out)) > 0
+
+
+def test_train_cli_from_tensor_cache(clean_tree, tmp_path):
+    """The reference ESRGAN pipeline trains from its tensorized pair cache
+    (esrgan_train.py:18-36); --tensor-cache reproduces that path."""
+    from celebrity_image_denoiser_tpu.cli.noise_gen import main as noise_main
+    from celebrity_image_denoiser_tpu.cli.train import main as train_main
+    from celebrity_image_denoiser_tpu.data.caching import build_tensor_cache
+
+    noisy_dir = str(tmp_path / "Noisy")
+    assert noise_main(["--clean-dir", clean_tree, "--out-dir", noisy_dir,
+                       "--image-size", "16", "16", "--types", "gaussian",
+                       "--batch", "8", "--variant", "3"]) == 0
+    cache = str(tmp_path / "Pre_dataset")
+    n = build_tensor_cache(os.path.join(noisy_dir, "gaussian"), clean_tree,
+                           cache, image_size=(16, 16))
+    assert n == 8
+    rc = train_main([
+        "--model", "esrgan", "--tensor-cache", cache,
+        "--num-epochs", "1", "--batch-size", "2", "--image-size", "16", "16",
+        "--checkpoint-dir", str(tmp_path / "cktc"),
+        "--graph-dir", str(tmp_path / "gtc"),
+        "--no-data-parallel",
+    ])
+    assert rc == 0
+    assert os.path.isdir(tmp_path / "cktc" / "esrgan_epoch_0")
