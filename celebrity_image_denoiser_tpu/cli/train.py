@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "them on every batch inside the jitted step (the "
                         "reference's per-batch curves, device-side); 'epoch' "
                         "samples the held-out test pair once per epoch")
+    p.add_argument("--compilation-cache", default="auto",
+                   help="persistent XLA compilation cache dir so restarts "
+                        "skip recompiles ('auto' = ~/.cache/cid_tpu/xla; "
+                        "'off' disables)")
     p.add_argument("--vgg-pth", default=None,
                    help="torchvision vgg16 .pth for the SRGAN perceptual "
                         "loss; default: the shipped trained tower "
@@ -80,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.compilation_cache != "off":
+        from celebrity_image_denoiser_tpu.core.compile_cache import enable
+
+        enable(None if args.compilation_cache == "auto"
+               else args.compilation_cache)
     cfg = TrainConfig(
         model=args.model,
         num_epochs=args.num_epochs,
