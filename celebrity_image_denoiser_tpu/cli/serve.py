@@ -30,10 +30,9 @@ def build_parser():
                         "device batch, waiting up to this many ms (off by "
                         "default; big throughput win under load)")
     p.add_argument("--microbatch-max", type=int, default=16)
-    p.add_argument("--compilation-cache", default="auto",
-                   help="persistent XLA compilation cache dir so restarts "
-                        "skip recompiles ('auto' = ~/.cache/cid_tpu/xla; "
-                        "'off' disables)")
+    from celebrity_image_denoiser_tpu.core.compile_cache import add_cli_arg
+
+    add_cli_arg(p)
     return p
 
 
@@ -54,11 +53,9 @@ def _parse_sizes(parser, spec):
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
-    if args.compilation_cache != "off":
-        from celebrity_image_denoiser_tpu.core.compile_cache import enable
+    from celebrity_image_denoiser_tpu.core.compile_cache import enable_from_arg
 
-        enable(None if args.compilation_cache == "auto"
-               else args.compilation_cache)
+    enable_from_arg(args.compilation_cache)
     sizes = _parse_sizes(parser, args.precompile) if args.precompile else None
 
     from celebrity_image_denoiser_tpu.serve.handlers import ServeState

@@ -70,10 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "them on every batch inside the jitted step (the "
                         "reference's per-batch curves, device-side); 'epoch' "
                         "samples the held-out test pair once per epoch")
-    p.add_argument("--compilation-cache", default="auto",
-                   help="persistent XLA compilation cache dir so restarts "
-                        "skip recompiles ('auto' = ~/.cache/cid_tpu/xla; "
-                        "'off' disables)")
+    from celebrity_image_denoiser_tpu.core.compile_cache import add_cli_arg
+
+    add_cli_arg(p)
     p.add_argument("--vgg-pth", default=None,
                    help="torchvision vgg16 .pth for the SRGAN perceptual "
                         "loss; default: the shipped trained tower "
@@ -84,11 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.compilation_cache != "off":
-        from celebrity_image_denoiser_tpu.core.compile_cache import enable
+    from celebrity_image_denoiser_tpu.core.compile_cache import enable_from_arg
 
-        enable(None if args.compilation_cache == "auto"
-               else args.compilation_cache)
+    enable_from_arg(args.compilation_cache)
     cfg = TrainConfig(
         model=args.model,
         num_epochs=args.num_epochs,
@@ -117,8 +114,38 @@ def main(argv=None) -> int:
 
     if args.tensor_cache:
         from celebrity_image_denoiser_tpu.data.caching import TensorPairDataset
+        from celebrity_image_denoiser_tpu.utils.logging import get_logger
 
         dataset = TensorPairDataset(args.tensor_cache)
+        # numeric-domain guard: tanh families train in [-1,1], esrgan/dncnn
+        # in [0,1] (CLAUDE.md conventions); adapt the cached domain or warn
+        # when a pre-meta cache can't declare it
+        if dataset.normalized is None:
+            get_logger("cid_tpu.cli.train").warning(
+                "--tensor-cache has no meta.json; assuming it was built "
+                "with the default [0,1] domain — rebuild the cache to "
+                "silence this")
+        cached_norm = bool(dataset.normalized)
+        if cached_norm != (not zero_one_family):
+            lo, hi = ((-1, 1) if not zero_one_family else (0, 1))
+            get_logger("cid_tpu.cli.train").info(
+                "remapping cached pairs to the %s family domain [%d,%d]",
+                args.model, lo, hi)
+            base = dataset
+
+            class _Remapped:
+                def __len__(self):
+                    return len(base)
+
+                def __getitem__(self, i):
+                    pair = base[i]
+                    if pair is None:
+                        return None
+                    f = ((lambda a: a * 2.0 - 1.0) if not zero_one_family
+                         else (lambda a: a * 0.5 + 0.5))
+                    return tuple(f(a) for a in pair)
+
+            dataset = _Remapped()
     elif cfg.on_the_fly_noise:
         # the jitted step always receives clean in [-1,1] on this path and
         # converts per family internally (gan_trainer.py); normalizing in

@@ -31,3 +31,17 @@ def enable(path: Optional[str] = None) -> str:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     logger.info("persistent XLA compilation cache: %s", path)
     return path
+
+
+def add_cli_arg(parser) -> None:
+    """The shared --compilation-cache flag (cli.serve and cli.train)."""
+    parser.add_argument(
+        "--compilation-cache", default="auto",
+        help="persistent XLA compilation cache dir so restarts skip "
+             "recompiles ('auto' = ~/.cache/cid_tpu/xla; 'off' disables)")
+
+
+def enable_from_arg(value: str) -> Optional[str]:
+    if value == "off":
+        return None
+    return enable(None if value == "auto" else value)

@@ -62,16 +62,23 @@ def validate_dataset(
     "unmatched_clean": [...], "deleted": [...]}."""
     pairs, report = pair_with_report(noisy_dir, clean_dir)
     corrupt: List[str] = []
+    broken_pairs: List[str] = []  # both members of a pair with a bad side
     for np_, cp_ in pairs:
+        bad = False
         for p in (np_, cp_):
             try:
                 imageio.imread_rgb(p)
             except Exception as e:
                 logger.warning("corrupt image %s: %s", p, e)
                 corrupt.append(p)
+                bad = True
+        if bad:
+            broken_pairs.extend((np_, cp_))
     report = dict(report, corrupt=sorted(set(corrupt)), deleted=[])
     if delete_corrupt:
-        to_delete = (report["corrupt"]
+        # deleting a corrupt member also removes its partner — otherwise the
+        # partner becomes a fresh orphan and the pass would need re-running
+        to_delete = (sorted(set(broken_pairs))
                      + [os.path.join(noisy_dir, r)
                         for r in report["unmatched_noisy"]]
                      + [os.path.join(clean_dir, r)
@@ -100,6 +107,11 @@ def build_tensor_cache(
     pairs, _ = pair_with_report(noisy_dir, clean_dir)
     out_dir = os.path.join(cache_dir, "pairs")
     os.makedirs(out_dir, exist_ok=True)
+    import json
+
+    with open(os.path.join(cache_dir, "meta.json"), "w") as f:
+        json.dump({"normalize": bool(normalize),
+                   "image_size": list(image_size)}, f)
     size = (image_size[1], image_size[0])
     count = 0
     for noisy_path, clean_path in pairs:
@@ -122,7 +134,15 @@ class TensorPairDataset:
     esrgan_train.py:18-36)."""
 
     def __init__(self, cache_dir: str):
+        import json
+
         pair_dir = os.path.join(cache_dir, "pairs")
+        # domain metadata: None for pre-meta caches (domain unknown)
+        self.normalized = None
+        meta_path = os.path.join(cache_dir, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.normalized = bool(json.load(f).get("normalize", False))
         self.files = sorted(
             os.path.join(pair_dir, f)
             for f in os.listdir(pair_dir)
@@ -145,9 +165,11 @@ class TensorPairDataset:
 
 def train_val_test_split(items: Sequence, val: float = 0.1,
                          test: float = 0.1, seed: int = 42):
-    """Back-compat shim over datasets.train_val_test_split (the exact
-    reference split order: train carved first, then val vs test —
-    training5Pbar.py:138-139)."""
+    """Delegates to datasets.train_val_test_split, which follows the exact
+    reference split ORDER (train carved first, then val vs test —
+    training5Pbar.py:138-139).  NOTE: this changes split MEMBERSHIP vs the
+    pre-round-2 helper here (which carved test first); only the fractions
+    are preserved.  Splits are not comparable across that boundary."""
     from celebrity_image_denoiser_tpu.data.datasets import (
         train_val_test_split as _tvts,
     )

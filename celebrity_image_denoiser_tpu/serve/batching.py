@@ -8,8 +8,9 @@ step costs ~2 ms at batch 1 but ~0.1 ms/image at batch 16+
 requests into one device batch:
 
 * requests enqueue per (model, padded shape) key; the thread that turns the
-  queue non-empty becomes the *leader*, sleeps ``window_ms``, then drains
-  everything that accumulated and runs it as chunks of ``max_batch``;
+  queue non-empty becomes the *leader*, waits up to ``window_ms`` (returning
+  immediately once a full batch accumulates), then drains everything that
+  arrived and runs it as chunks of ``max_batch``;
 * batches pad to the next power of two (1,2,4,8,…) so the jit cache holds
   O(log max_batch) programs per shape instead of one per occupancy;
 * disabled by default (zero added latency); enable for load with
@@ -128,6 +129,13 @@ class BatcherPool:
     """One MicroBatcher per (model, input shape) key."""
 
     def __init__(self, window_ms: float, max_batch: int = 16):
+        # validate at construction (server startup), not on the first
+        # request — a per-request ValueError would be swallowed into
+        # perpetual 500s by the handler's catch-all
+        if not (window_ms >= 0):
+            raise ValueError(f"window_ms must be >= 0, got {window_ms}")
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.window_ms = window_ms
         self.max_batch = max_batch
         self._lock = threading.Lock()

@@ -158,7 +158,7 @@ class ServeState:
                     logger.info("[%s] loaded weights from %s", name, npz_dir)
                 else:
                     raise FileNotFoundError(path)
-            except Exception as e:
+            except FileNotFoundError as e:
                 if name == "cgan":
                     # expected: the reference ships no torch cGAN .pth
                     # either — serving defaults to the Keras backend below
@@ -169,6 +169,10 @@ class ServeState:
                     logger.warning(
                         "[%s] checkpoint not loaded (%s). Using random init "
                         "for that backend.", name, e)
+            except Exception as e:  # a PRESENT but unloadable checkpoint
+                logger.warning(
+                    "[%s] checkpoint failed to load (%s). Using random init "
+                    "for that backend.", name, e)
         keras_path = os.path.join(self.weights_dir, _CGAN_KERAS)
         try:
             model = M.CGANKerasGenerator()

@@ -232,3 +232,35 @@ def test_train_cli_from_tensor_cache(clean_tree, tmp_path):
     ])
     assert rc == 0
     assert os.path.isdir(tmp_path / "cktc" / "esrgan_epoch_0")
+
+
+def test_tensor_cache_domain_remap(clean_tree, tmp_path):
+    """A default-built ([0,1]) cache must be remapped to [-1,1] for tanh
+    families — the cache records its domain in meta.json (review r2 #2)."""
+    import jax.numpy as jnp
+
+    from celebrity_image_denoiser_tpu.cli.noise_gen import main as noise_main
+    from celebrity_image_denoiser_tpu.data.caching import (
+        TensorPairDataset,
+        build_tensor_cache,
+    )
+
+    noisy_dir = str(tmp_path / "N")
+    noise_main(["--clean-dir", clean_tree, "--out-dir", noisy_dir,
+                "--image-size", "16", "16", "--types", "gaussian",
+                "--batch", "8"])
+    cache = str(tmp_path / "cache01")
+    build_tensor_cache(os.path.join(noisy_dir, "gaussian"), clean_tree,
+                       cache, image_size=(16, 16))
+    ds = TensorPairDataset(cache)
+    assert ds.normalized is False  # meta.json records the domain
+    # the denoise (tanh) family trains from the [0,1] cache via the remap
+    from celebrity_image_denoiser_tpu.cli.train import main as train_main
+
+    rc = train_main([
+        "--model", "denoise", "--tensor-cache", cache,
+        "--num-epochs", "1", "--batch-size", "2", "--image-size", "16", "16",
+        "--checkpoint-dir", str(tmp_path / "ckr"),
+        "--graph-dir", str(tmp_path / "gr"), "--no-data-parallel",
+    ])
+    assert rc == 0
