@@ -85,6 +85,20 @@ def run_enhance(st: "ServeState", *, model: str, file_bytes: bytes,
         include_graph=include_graph)
 
 
+def _as01(y, tanh: bool) -> np.ndarray:
+    """Device output -> host float [0,1].  The jitted forwards return uint8
+    (denorm/clip/quantize fused on device, 4x smaller D2H); tiled/sharded
+    big-input paths still return floats in the family domain.  u8->f32/255
+    ->*255->u8 round-trips losslessly, so downstream PNG bytes are
+    unchanged."""
+    a = np.asarray(y)[0]
+    if a.dtype == np.uint8:
+        return a.astype(np.float32) / 255.0
+    if tanh:
+        a = a * 0.5 + 0.5
+    return np.clip(a, 0.0, 1.0)
+
+
 class ServeState:
     """Loaded models + jitted forwards.  Big inputs route through exact
     single-device tiling automatically (tile_rows threshold)."""
@@ -188,9 +202,20 @@ class ServeState:
     # -- jitted forwards -----------------------------------------------------
     def _forward(self, which: str, model, params, state, x: jnp.ndarray):
         if which not in self._fns:
-            def fn(params, state, x):
+            # fuse the family's denorm + clip + uint8 quantization into the
+            # program: the response is u8 anyway, and transferring u8
+            # instead of f32 cuts D2H 4x (this host link is ~25 MB/s;
+            # PCIe hosts still save 3/4 of the transfer).  Tiled/sharded
+            # big-input paths keep float outputs (host converts — see
+            # enhance's dtype-aware conversion).
+            base = which.split(":")[0]
+            tanh = (MODEL_CFG.get(base, {}).get("activation") == "tanh"
+                    or which == "cgan:keras")
+
+            def fn(params, state, x, _tanh=tanh):
                 y, _ = model.apply(params, state, x, train=False)
-                return y
+                y01 = jnp.clip(y * 0.5 + 0.5 if _tanh else y, 0.0, 1.0)
+                return (y01 * 255.0).astype(jnp.uint8)
             self._fns[which] = jax.jit(fn)
         if x.shape[1] > self.tile_threshold_rows:
             n_dev = 0 if self.mesh is None else self.mesh.devices.size
@@ -341,7 +366,7 @@ class ServeState:
                 x01 = imageio.to_float01(image)[None]
                 y = self._forward(model, self.models[model],
                                   *self.params[model], jnp.asarray(x01))
-                y01 = np.clip(np.asarray(y)[0], 0.0, 1.0)
+                y01 = _as01(y, tanh=False)
                 x_vis, y_vis = imageio.to_float01(image), y01
             else:
                 mean, std = cfg["normalize"]
@@ -363,7 +388,7 @@ class ServeState:
                     # shipped Keras model is single-input: condition ignored
                     # (app.py:457-458 falls through to predict(x))
                     y = self._forward("cgan:keras", km, kp, ks, jnp.asarray(xin))
-                    y01 = np.clip(np.asarray(y)[0] * 0.5 + 0.5, 0, 1)
+                    y01 = _as01(y, tanh=True)
                 elif model == "cgan":
                     gen = self.models["cgan"]
                     p, s = self.params["cgan"]
@@ -381,11 +406,7 @@ class ServeState:
                 else:
                     y = self._forward(model, self.models[model],
                                       *self.params[model], jnp.asarray(xin))
-                    y01 = np.asarray(y)[0]
-                    if cfg["activation"] == "tanh":
-                        y01 = np.clip(y01 * 0.5 + 0.5, 0, 1)
-                    else:
-                        y01 = np.clip(y01, 0, 1)
+                    y01 = _as01(y, tanh=cfg["activation"] == "tanh")
                 x_vis = x01  # denormed view (app.py:434)
                 y_vis = y01
 
