@@ -350,7 +350,7 @@ def shipped_state():
     return ServeState(weights_dir=wd)
 
 
-@pytest.mark.parametrize("model", ["dncnn", "denoise"])
+@pytest.mark.parametrize("model", ["dncnn", "denoise", "esrgan"])
 def test_shipped_weights_actually_denoise(shipped_state, model):
     """The committed checkpoints must beat the noisy input's PSNR through the
     full serving path (the reference ships trained weights, app.py:319-345;
