@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(data.caching.build_tensor_cache) — the reference "
                         "ESRGAN pipeline trains from its .pt cache "
                         "(esrgan_train.py:18-36); implies --no-on-the-fly")
+    p.add_argument("--tensor-cache-domain", default=None,
+                   choices=["unit", "tanh"],
+                   help="numeric domain of a --tensor-cache built WITHOUT "
+                        "meta.json: 'unit' = [0,1], 'tanh' = [-1,1]. Caches "
+                        "with meta.json ignore this; without it the domain "
+                        "is probed from sample pairs (negative values => "
+                        "tanh) and the probe result is logged")
     p.add_argument("--noise-variant", type=int, default=None, choices=[1, 2, 3],
                    help="default: the variant the reference uses for the "
                         "model family (v1 denoise, v2 srgan/cgan, v3 esrgan)")
@@ -120,11 +127,26 @@ def main(argv=None) -> int:
         # numeric-domain guard: tanh families train in [-1,1], esrgan/dncnn
         # in [0,1] (CLAUDE.md conventions); adapt the cached domain or warn
         # when a pre-meta cache can't declare it
+        log = get_logger("cid_tpu.cli.train")
         if dataset.normalized is None:
-            get_logger("cid_tpu.cli.train").warning(
-                "--tensor-cache has no meta.json; assuming it was built "
-                "with the default [0,1] domain — rebuild the cache to "
-                "silence this")
+            if args.tensor_cache_domain is not None:
+                dataset.normalized = args.tensor_cache_domain == "tanh"
+                log.info("--tensor-cache has no meta.json; using declared "
+                         "--tensor-cache-domain=%s", args.tensor_cache_domain)
+            else:
+                # probe: a [-1,1] cache has negative values with near
+                # certainty; a genuinely non-negative cache is [0,1]
+                probe_min = min(
+                    float(min(a.min() for a in pair))
+                    for pair in (dataset[i]
+                                 for i in range(min(4, len(dataset))))
+                    if pair is not None)
+                dataset.normalized = probe_min < -1e-3
+                log.warning(
+                    "--tensor-cache has no meta.json; probed sample min "
+                    "%.4f => treating as %s — pass --tensor-cache-domain "
+                    "or rebuild the cache to make this explicit",
+                    probe_min, "[-1,1]" if dataset.normalized else "[0,1]")
         cached_norm = bool(dataset.normalized)
         if cached_norm != (not zero_one_family):
             lo, hi = ((-1, 1) if not zero_one_family else (0, 1))

@@ -147,16 +147,53 @@ def get_padding(
     pad_h = (eff - h % eff) % eff
     return (pad_w // 2, pad_h // 2, pad_w - pad_w // 2, pad_h - pad_h // 2)
 
-def default_weights_dir() -> str:
-    """./weights if the cwd has one, else the repo-root weights/ shipped
-    with the package — checkpoint consumers (serving, eval CLI, the default
-    perceptual net) find the committed weights from any cwd, like the
-    reference resolves weights/ relative to backend/app.py:221."""
+def _looks_like_weights_dir(path: str) -> bool:
+    """True when ``path`` holds at least one recognizable checkpoint: a
+    ``.pth``/``.keras`` file, or a per-family npz dir (``<family>/`` or
+    ``perceptual/``) that actually contains files.  Guards against an
+    unrelated ./weights dir in the cwd silently routing serving/eval to
+    random-init models."""
     import os
 
-    if os.path.isdir("weights"):
-        return "weights"
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return False
+    families = set(MODEL_CFG) | {"perceptual"}
+    for e in entries:
+        if e.endswith((".pth", ".keras")):
+            return True
+        sub = os.path.join(path, e)
+        if e in families and os.path.isdir(sub):
+            try:
+                if os.listdir(sub):
+                    return True
+            except OSError:
+                continue
+    return False
+
+
+def default_weights_dir() -> str:
+    """./weights if the cwd has one that actually contains checkpoints,
+    else the repo-root weights/ shipped with the package — checkpoint
+    consumers (serving, eval CLI, the default perceptual net) find the
+    committed weights from any cwd, like the reference resolves weights/
+    relative to backend/app.py:221.  A cwd ./weights with no recognizable
+    checkpoint is skipped (with a log line) rather than shadowing the
+    shipped weights."""
+    import os
+
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    cand = os.path.join(root, "weights")
-    return cand if os.path.isdir(cand) else "weights"
+    packaged = os.path.join(root, "weights")
+    if os.path.isdir("weights") and os.path.abspath("weights") != packaged:
+        if _looks_like_weights_dir("weights"):
+            return "weights"
+        from celebrity_image_denoiser_tpu.utils.logging import get_logger
+
+        get_logger("cid_tpu.core.config").info(
+            "ignoring cwd ./weights (no recognizable checkpoints); using "
+            "packaged %s", packaged)
+    if os.path.isdir("weights") and os.path.abspath("weights") == packaged:
+        return "weights"
+    return packaged if os.path.isdir(packaged) else "weights"

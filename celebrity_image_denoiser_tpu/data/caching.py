@@ -50,13 +50,19 @@ def pair_with_report(
 
 
 def validate_dataset(
-    noisy_dir: str, clean_dir: str, *, delete_corrupt: bool = False
+    noisy_dir: str,
+    clean_dir: str,
+    *,
+    delete_corrupt: bool = False,
+    delete_unmatched: bool = False,
 ) -> Dict[str, List[str]]:
     """The TF loader's dataset hygiene pass (sr_ganpreprocess.py:34-41,
     116-133): find undecodable and unpaired files.  The reference DELETES
-    them from disk; here deletion is an explicit opt-in (``delete_corrupt``)
-    and the default only reports — destroying user data silently is the one
-    reference behavior not worth parity by default.
+    both kinds from disk; here each destructive scope is a separate explicit
+    opt-in — ``delete_corrupt`` removes undecodable pairs only,
+    ``delete_unmatched`` removes files with no partner — and the default only
+    reports.  Destroying user data silently is the one reference behavior
+    not worth parity by default; pass both flags for full reference parity.
 
     Returns {"corrupt": [...], "unmatched_noisy": [...],
     "unmatched_clean": [...], "deleted": [...]}."""
@@ -75,14 +81,17 @@ def validate_dataset(
         if bad:
             broken_pairs.extend((np_, cp_))
     report = dict(report, corrupt=sorted(set(corrupt)), deleted=[])
+    to_delete: List[str] = []
     if delete_corrupt:
         # deleting a corrupt member also removes its partner — otherwise the
         # partner becomes a fresh orphan and the pass would need re-running
-        to_delete = (sorted(set(broken_pairs))
-                     + [os.path.join(noisy_dir, r)
-                        for r in report["unmatched_noisy"]]
-                     + [os.path.join(clean_dir, r)
-                        for r in report["unmatched_clean"]])
+        to_delete += sorted(set(broken_pairs))
+    if delete_unmatched:
+        to_delete += [os.path.join(noisy_dir, r)
+                      for r in report["unmatched_noisy"]]
+        to_delete += [os.path.join(clean_dir, r)
+                      for r in report["unmatched_clean"]]
+    if to_delete:
         for p in to_delete:
             try:
                 os.remove(p)

@@ -122,6 +122,15 @@ class MicroBatcher:
                     b["err"] = e
             finally:
                 for b in chunk:
+                    # a BaseException inside fn (KeyboardInterrupt/
+                    # SystemExit) skips the except above; waiters woken
+                    # with neither 'y' nor 'err' would KeyError — mark
+                    # them failed before setting the event (the leader's
+                    # outer handler skips already-set waiters)
+                    if "y" not in b and "err" not in b:
+                        b["err"] = RuntimeError(
+                            "micro-batch chunk aborted by BaseException "
+                            "in the batched forward")
                     b["ev"].set()
 
 

@@ -264,3 +264,71 @@ def test_tensor_cache_domain_remap(clean_tree, tmp_path):
         "--graph-dir", str(tmp_path / "gr"), "--no-data-parallel",
     ])
     assert rc == 0
+
+
+def test_tensor_cache_without_meta_probes_or_declares_domain(
+        clean_tree, tmp_path, caplog):
+    """A pre-meta cache must not be silently assumed [0,1]: the CLI probes
+    sample pairs (negative values => tanh) or takes an explicit
+    --tensor-cache-domain (ADVICE r2: cli/train.py)."""
+    import logging
+
+    from celebrity_image_denoiser_tpu.cli.noise_gen import main as noise_main
+    from celebrity_image_denoiser_tpu.cli.train import main as train_main
+    from celebrity_image_denoiser_tpu.data.caching import build_tensor_cache
+
+    noisy_dir = str(tmp_path / "N")
+    noise_main(["--clean-dir", clean_tree, "--out-dir", noisy_dir,
+                "--image-size", "16", "16", "--types", "gaussian",
+                "--batch", "8"])
+    # a NORMALIZED ([-1,1]) cache whose meta.json is then lost
+    cache = str(tmp_path / "cache_tanh")
+    build_tensor_cache(os.path.join(noisy_dir, "gaussian"), clean_tree,
+                       cache, image_size=(16, 16), normalize=True)
+    os.remove(os.path.join(cache, "meta.json"))
+
+    common = ["--num-epochs", "1", "--batch-size", "2",
+              "--image-size", "16", "16", "--no-data-parallel"]
+    with caplog.at_level(logging.INFO, logger="cid_tpu.cli.train"):
+        rc = train_main(["--model", "denoise", "--tensor-cache", cache,
+                         "--checkpoint-dir", str(tmp_path / "ck1"),
+                         "--graph-dir", str(tmp_path / "g1")] + common)
+    assert rc == 0
+    probed = [r for r in caplog.records if "probed sample min" in r.message]
+    assert probed, "pre-meta cache must be probed, not assumed"
+    assert "[-1,1]" in probed[0].getMessage()
+    # probe must NOT fire remap for a tanh cache feeding a tanh family
+    assert not any("remapping cached pairs" in r.getMessage()
+                   for r in caplog.records)
+
+    # explicit declaration wins over probing
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="cid_tpu.cli.train"):
+        rc = train_main(["--model", "denoise", "--tensor-cache", cache,
+                         "--tensor-cache-domain", "unit",
+                         "--checkpoint-dir", str(tmp_path / "ck2"),
+                         "--graph-dir", str(tmp_path / "g2")] + common)
+    assert rc == 0
+    assert any("declared" in r.getMessage() for r in caplog.records)
+    assert any("remapping cached pairs" in r.getMessage()
+               for r in caplog.records)
+
+
+def test_default_weights_dir_ignores_unrelated_cwd_weights(tmp_path,
+                                                           monkeypatch):
+    """An unrelated ./weights dir in the cwd must not shadow the packaged
+    checkpoints (ADVICE r2: core/config.py default_weights_dir)."""
+    from celebrity_image_denoiser_tpu.core.config import default_weights_dir
+
+    monkeypatch.chdir(tmp_path)
+    packaged = default_weights_dir()
+    assert os.path.isabs(packaged) and os.path.isdir(packaged)
+
+    # empty / unrelated ./weights: ignored
+    (tmp_path / "weights").mkdir()
+    (tmp_path / "weights" / "notes.txt").write_text("not a checkpoint")
+    assert default_weights_dir() == packaged
+
+    # a recognizable checkpoint makes the cwd dir win again
+    (tmp_path / "weights" / "denoise_epoch_499.pth").write_bytes(b"x")
+    assert default_weights_dir() == "weights"

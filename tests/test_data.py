@@ -281,8 +281,15 @@ def test_validate_dataset_reports_and_optin_deletes(tmp_path, rng_np):
     assert report["deleted"] == []
     assert (nd / "broken.png").exists()  # default never deletes
 
+    # delete_corrupt alone must NOT touch unpaired files (destructive
+    # scopes are separate opt-ins)
     report = validate_dataset(str(nd), str(cd), delete_corrupt=True)
-    assert len(report["deleted"]) == 3
+    assert len(report["deleted"]) == 2
     assert not (nd / "broken.png").exists()
+    assert (nd / "orphan.png").exists()
+    assert (nd / "a.png").exists() and (cd / "a.png").exists()
+
+    report = validate_dataset(str(nd), str(cd), delete_unmatched=True)
+    assert report["deleted"] == [str(nd / "orphan.png")]
     assert not (nd / "orphan.png").exists()
     assert (nd / "a.png").exists() and (cd / "a.png").exists()

@@ -569,3 +569,39 @@ def test_microbatcher_config_validation_and_early_dispatch():
     assert dt < 4.0, f"full batch should dispatch early, took {dt:.1f}s"
     for i, y in enumerate(out):
         assert float(np.asarray(y)[0, 0]) == 2.0 * i
+
+
+def test_microbatch_base_exception_marks_waiters_failed():
+    """A BaseException inside the batched fn (e.g. KeyboardInterrupt) must
+    wake that chunk's followers with a real error, not a KeyError('y')
+    (ADVICE r2: batching.py _run finally-path)."""
+    import concurrent.futures
+
+    import jax.numpy as jnp
+
+    from celebrity_image_denoiser_tpu.serve.batching import MicroBatcher
+
+    class _Abort(BaseException):
+        pass
+
+    def fn(xs):
+        raise _Abort()
+
+    mb = MicroBatcher(fn, window_ms=100.0, max_batch=4)
+    xs = [jnp.full((1, 2), float(i)) for i in range(3)]
+    with concurrent.futures.ThreadPoolExecutor(3) as ex:
+        futs = [ex.submit(mb, x) for x in xs]
+        outcomes = []
+        for f in futs:
+            try:
+                f.result(timeout=30)
+                outcomes.append("ok")
+            except _Abort:
+                outcomes.append("abort")  # the leader re-raises the original
+            except RuntimeError:
+                outcomes.append("err")  # followers get the marked error
+            except KeyError:
+                outcomes.append("keyerror")  # the bug this test pins down
+    assert "keyerror" not in outcomes
+    assert outcomes.count("abort") == 1
+    assert outcomes.count("err") == 2
