@@ -32,6 +32,10 @@ from celebrity_image_denoiser_tpu.core.config import FAMILY_NOISE_VARIANT  # noq
 from celebrity_image_denoiser_tpu.data.synthetic import synth_clean_batch  # noqa: E402
 from celebrity_image_denoiser_tpu.train.gan_trainer import make_train_step  # noqa: E402
 
+# v5e MXU peak (bf16); MFU is reported against this for both dtypes so the
+# numbers compare directly with kernel_notes.md's serving figure (66%)
+V5E_BF16_PEAK_TFLOPS = 197.0
+
 # family -> (batch, size)  — the reference training configs
 CONFIGS = {
     "denoise": (16, 256),
@@ -43,11 +47,13 @@ CONFIGS = {
 
 
 def bench_family(family: str, steps: int, chunk: int,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32", batch: int = None,
+                 no_metrics: bool = False):
     sys.path.insert(0, os.path.join(_REPO, "scripts"))
     from train_serving_weights import build_models, load_perceptual
 
-    batch, size = CONFIGS[family]
+    cfg_batch, size = CONFIGS[family]
+    batch = batch or cfg_batch
     if family == "cgan":
         from celebrity_image_denoiser_tpu import models as M
 
@@ -74,9 +80,30 @@ def bench_family(family: str, steps: int, chunk: int,
 
         return jax.lax.scan(body, carry, jax.random.split(key, chunk))
 
+    if no_metrics:
+        # isolate the in-step PSNR/SSIM cost: identical step minus metrics
+        # (the reference computes them per batch; ours are on-device but
+        # still inside the program — this quantifies their share)
+        raw_step = step_fn
+
+        def step_fn(c, noisy, clean, k, lg, ld):  # noqa: F811
+            c, m = raw_step(c, noisy, clean, k, lg, ld)
+            return c, {"g_loss": m["g_loss"]}
+
     run_chunk = jax.jit(run_chunk, donate_argnums=(0,))
     carry = init_fn(prng.key(0))
     lr = jnp.float32(1e-4)
+    # compiled-HLO FLOP count (XLA cost analysis) -> honest MFU: measured
+    # FLOP/s over the WHOLE chunk program (data synth + noise + fwd + bwd +
+    # optimizer + metrics) divided by the v5e bf16 MXU peak
+    flops_per_step = None
+    try:
+        compiled = run_chunk.lower(carry, prng.key(1), lr).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_step = float(ca["flops"]) / chunk
+    except Exception:
+        pass
     carry, losses = run_chunk(carry, prng.key(1), lr)  # compile + warm
     np.asarray(jax.device_get(losses[-1]))
     n_chunks = max(1, steps // chunk)
@@ -86,10 +113,16 @@ def bench_family(family: str, steps: int, chunk: int,
     np.asarray(jax.device_get(losses[-1]))  # fence
     dt = time.perf_counter() - t0
     total = n_chunks * chunk
-    return {"family": family, "batch": batch, "size": size,
-            "steps_per_sec": round(total / dt, 2),
-            "imgs_per_sec": round(total * batch / dt, 1),
-            "ms_per_step": round(dt / total * 1e3, 2)}
+    out = {"family": family, "batch": batch, "size": size,
+           "steps_per_sec": round(total / dt, 2),
+           "imgs_per_sec": round(total * batch / dt, 1),
+           "ms_per_step": round(dt / total * 1e3, 2)}
+    if flops_per_step:
+        tflops = flops_per_step * total / dt / 1e12
+        out["hlo_gflop_per_step"] = round(flops_per_step / 1e9, 1)
+        out["tflops"] = round(tflops, 1)
+        out["mfu_vs_bf16_peak"] = round(tflops / V5E_BF16_PEAK_TFLOPS, 3)
+    return out
 
 
 def main():
@@ -99,11 +132,18 @@ def main():
     ap.add_argument("--chunk", type=int, default=20)
     ap.add_argument("--compute-dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the reference batch size (scaling probes)")
+    ap.add_argument("--no-metrics", action="store_true",
+                    help="drop in-step PSNR/SSIM (quantifies their share)")
     args = ap.parse_args()
     fams = [args.family] if args.family else list(CONFIGS)
     for f in fams:
-        r = bench_family(f, args.steps, args.chunk, args.compute_dtype)
+        r = bench_family(f, args.steps, args.chunk, args.compute_dtype,
+                         batch=args.batch, no_metrics=args.no_metrics)
         r["compute_dtype"] = args.compute_dtype
+        if args.no_metrics:
+            r["no_metrics"] = True
         print(json.dumps(r), flush=True)
 
 

@@ -47,10 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="read pre-rendered noisy pairs from --noisy-dir "
                         "(reference-parity pipeline)")
     p.add_argument("--tensor-cache", default=None,
-                   help="train from a prebuilt tensor-pair cache dir "
-                        "(data.caching.build_tensor_cache) — the reference "
-                        "ESRGAN pipeline trains from its .pt cache "
-                        "(esrgan_train.py:18-36); implies --no-on-the-fly")
+                   help="train from a prebuilt tensor-pair cache dir: the "
+                        "native npz cache (data.caching.build_tensor_cache) "
+                        "or the reference's Pre_dataset .pt tree "
+                        "(<dir>/<noise>/{noisy,clean}_tensor/*.pt, "
+                        "esrgan_train.py:18-36), detected by layout; "
+                        "implies --no-on-the-fly")
     p.add_argument("--tensor-cache-domain", default=None,
                    choices=["unit", "tanh"],
                    help="numeric domain of a --tensor-cache built WITHOUT "
@@ -120,10 +122,12 @@ def main(argv=None) -> int:
         mesh = make_mesh()
 
     if args.tensor_cache:
-        from celebrity_image_denoiser_tpu.data.caching import TensorPairDataset
+        from celebrity_image_denoiser_tpu.data.caching import open_tensor_cache
         from celebrity_image_denoiser_tpu.utils.logging import get_logger
 
-        dataset = TensorPairDataset(args.tensor_cache)
+        # accepts the native npz cache OR the reference's Pre_dataset .pt
+        # tree (esrgan_preprocessing.py:12-54), detected by layout
+        dataset = open_tensor_cache(args.tensor_cache)
         # numeric-domain guard: tanh families train in [-1,1], esrgan/dncnn
         # in [0,1] (CLAUDE.md conventions); adapt the cached domain or warn
         # when a pre-meta cache can't declare it

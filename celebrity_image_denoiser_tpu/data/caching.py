@@ -109,10 +109,13 @@ def build_tensor_cache(
     cache_dir: str,
     image_size: Tuple[int, int] = (256, 256),
     normalize: bool = False,
+    resize_method: str = "bicubic",
 ) -> int:
     """Decode, resize, tensorize each pair to ``<cache>/pairs/NNNNNN.npz``
     with float32 arrays (``noisy``/``clean`` keys), [0,1] domain (the
-    ESRGAN convention) or [-1,1] when ``normalize``.  Returns pair count."""
+    ESRGAN convention) or [-1,1] when ``normalize``.  ``resize_method``:
+    "bicubic" (reference default) or "lanczos" (the TF cleanup path,
+    sr_ganpreprocess.py:26-27).  Returns pair count."""
     pairs, _ = pair_with_report(noisy_dir, clean_dir)
     out_dir = os.path.join(cache_dir, "pairs")
     os.makedirs(out_dir, exist_ok=True)
@@ -120,13 +123,16 @@ def build_tensor_cache(
 
     with open(os.path.join(cache_dir, "meta.json"), "w") as f:
         json.dump({"normalize": bool(normalize),
-                   "image_size": list(image_size)}, f)
+                   "image_size": list(image_size),
+                   "resize_method": resize_method}, f)
     size = (image_size[1], image_size[0])
     count = 0
     for noisy_path, clean_path in pairs:
         try:
-            n = imageio.to_float01(imageio.imread_rgb(noisy_path, size))
-            c = imageio.to_float01(imageio.imread_rgb(clean_path, size))
+            n = imageio.to_float01(
+                imageio.imread_rgb(noisy_path, size, method=resize_method))
+            c = imageio.to_float01(
+                imageio.imread_rgb(clean_path, size, method=resize_method))
         except Exception as e:  # skip-and-report; never delete sources
             logger.warning("skipping pair %s: %s", noisy_path, e)
             continue
@@ -170,6 +176,85 @@ class TensorPairDataset:
         except Exception as e:
             logger.warning("bad cache entry %s: %s", self.files[idx], e)
             return None
+
+
+class TorchTensorPairDataset:
+    """Reads the reference's actual ``.pt`` tensor-pair caches.
+
+    The reference ESRGAN workflow materializes
+    ``Pre_dataset/<noise>/{noisy_tensor,clean_tensor}/<rel>.pt`` — one CHW
+    float [0,1] tensor per file (esrgan_preprocessing.py:12-54) — and trains
+    by walking ``noisy_tensor`` recursively, sorted, loading the clean
+    partner by the same relative path (esrgan_train.py:18-36).  This reader
+    accepts either a single ``<dir>/{noisy_tensor,clean_tensor}`` pair or a
+    whole ``Pre_dataset`` root (every ``<noise>/`` subdir concatenated,
+    sorted by noise type then rel path), converts CHW→HWC, and returns
+    ``None`` for undecodable entries (the skip-and-collate contract).  torch
+    is needed only to unpickle; items come back as numpy.
+    """
+
+    normalized = False  # torchvision ToTensor domain: [0,1]
+
+    def __init__(self, root: str):
+        self.pairs: List[Tuple[str, str]] = []
+        roots = []
+        if os.path.isdir(os.path.join(root, "noisy_tensor")):
+            roots.append(root)
+        else:
+            roots.extend(
+                os.path.join(root, d)
+                for d in sorted(os.listdir(root))
+                if os.path.isdir(os.path.join(root, d, "noisy_tensor")))
+        for r in roots:
+            nd, cd = os.path.join(r, "noisy_tensor"), os.path.join(r, "clean_tensor")
+            rels = []
+            for walk_root, _, files in os.walk(nd):
+                for f in files:
+                    if f.endswith(".pt"):
+                        rels.append(os.path.relpath(
+                            os.path.join(walk_root, f), nd))
+            for rel in sorted(rels):  # the reference sorts (esrgan_train.py:28)
+                cp = os.path.join(cd, rel)
+                if os.path.isfile(cp):
+                    self.pairs.append((os.path.join(nd, rel), cp))
+                else:
+                    logger.warning("no clean partner for %s; skipping", rel)
+        if not self.pairs:
+            raise ValueError(
+                f"no .pt pairs under {root} (expected "
+                "<dir>/{{noisy_tensor,clean_tensor}}/*.pt or "
+                "Pre_dataset/<noise>/ subdirs of that shape)")
+
+    @staticmethod
+    def _load(path: str) -> np.ndarray:
+        import torch
+
+        t = torch.load(path, map_location="cpu", weights_only=True)
+        a = np.asarray(t.detach().numpy() if hasattr(t, "detach") else t,
+                       np.float32)
+        if a.ndim == 3 and a.shape[0] in (1, 3) and a.shape[0] < a.shape[-1]:
+            a = np.transpose(a, (1, 2, 0))  # CHW (torchvision) -> HWC
+        return a
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, idx: int):
+        np_, cp_ = self.pairs[idx]
+        try:
+            return self._load(np_), self._load(cp_)
+        except Exception as e:
+            logger.warning("bad .pt cache entry %s: %s", np_, e)
+            return None
+
+
+def open_tensor_cache(path: str):
+    """Open either cache flavor by layout: the native npz cache
+    (``<dir>/pairs/*.npz``, TensorPairDataset) or the reference's ``.pt``
+    tree (TorchTensorPairDataset)."""
+    if os.path.isdir(os.path.join(path, "pairs")):
+        return TensorPairDataset(path)
+    return TorchTensorPairDataset(path)
 
 
 def train_val_test_split(items: Sequence, val: float = 0.1,

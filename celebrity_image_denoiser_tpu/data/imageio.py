@@ -17,10 +17,13 @@ import numpy as np
 IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tiff")
 
 
-def imread_rgb(path_or_bytes, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
-    """Decode to uint8 RGB HWC; optional bicubic resize to (w, h) like the
-    reference's ``Image.open(...).convert('RGB').resize(size, BICUBIC)``
-    (noise_generation.py:60-61)."""
+def imread_rgb(path_or_bytes, size: Optional[Tuple[int, int]] = None,
+               method: str = "bicubic") -> np.ndarray:
+    """Decode to uint8 RGB HWC; optional resize to (w, h).  ``method``:
+    "bicubic" like the reference's ``Image.open(...).convert('RGB')
+    .resize(size, BICUBIC)`` (noise_generation.py:60-61), or "lanczos"
+    (a=3, PIL LANCZOS) matching the TF cleanup path's lanczos3
+    (sr_ganpreprocess.py:26-27)."""
     from PIL import Image
 
     if isinstance(path_or_bytes, (bytes, bytearray)):
@@ -29,7 +32,9 @@ def imread_rgb(path_or_bytes, size: Optional[Tuple[int, int]] = None) -> np.ndar
         img = Image.open(path_or_bytes)
     img = img.convert("RGB")
     if size is not None:
-        img = img.resize(size, Image.Resampling.BICUBIC)
+        resampling = {"bicubic": Image.Resampling.BICUBIC,
+                      "lanczos": Image.Resampling.LANCZOS}[method]
+        img = img.resize(size, resampling)
     return np.asarray(img, dtype=np.uint8)
 
 

@@ -15,5 +15,5 @@ from celebrity_image_denoiser_tpu.ops.activations import (  # noqa: F401
 )
 from celebrity_image_denoiser_tpu.ops.norm import batch_norm  # noqa: F401
 from celebrity_image_denoiser_tpu.ops.pixelshuffle import pixel_shuffle  # noqa: F401
-from celebrity_image_denoiser_tpu.ops.resize import resize_bicubic, resize  # noqa: F401
+from celebrity_image_denoiser_tpu.ops.resize import resize_bicubic, resize_lanczos3, resize  # noqa: F401
 from celebrity_image_denoiser_tpu.ops.padding import pad_nhwc, crop_nhwc  # noqa: F401

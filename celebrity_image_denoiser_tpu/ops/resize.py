@@ -36,3 +36,11 @@ def resize_bicubic(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Bicubic resize to (height, width); the reference's default
     interpolation for dataset prep (PIL BICUBIC)."""
     return resize(x, size, method="bicubic")
+
+
+def resize_lanczos3(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Lanczos-3 resize to (height, width) — the reference's TF cleanup
+    path resizes with ``tf.image.resize(..., method='lanczos3')``
+    (sr_ganpreprocess.py:26-27); ``jax.image.resize`` implements the same
+    a=3 Lanczos kernel."""
+    return resize(x, size, method="lanczos3")

@@ -161,8 +161,22 @@ def tiled_apply_single_device(
     if halo % 4 != 0 or tile_h % 4 != 0:
         raise ValueError("halo and tile_h must be divisible by 4")
 
+    # one jitted program per (tile shape, crop window): slice + forward +
+    # center-crop fused into a single device call.  jit's cache keys on the
+    # static args, so at most three distinct programs compile
+    # (first/middle/last tile shapes) — an eager per-tile model.apply would
+    # pay op-by-op dispatch per layer per tile, which on a tunneled backend
+    # costs more than the compute (benchmarks/kernel_notes.md).
+    @partial(jax.jit, static_argnums=(4, 5, 6))
+    def tile_fwd(params, state, x, lo, size, keep_lo, keep_len):
+        # dynamic offset + STATIC extent: every interior tile shares one
+        # compiled program regardless of its position in the image
+        tile = lax.dynamic_slice_in_dim(x, lo, size, axis=1)
+        y, _ = model.apply(params, state, tile, train=False)
+        return lax.slice_in_dim(y, keep_lo, keep_lo + keep_len, axis=1)
+
     def fn(x: jax.Array) -> jax.Array:
-        n, h, w, c = x.shape
+        h = x.shape[1]
         if h % 4 != 0:
             raise ValueError(f"height {h} must be divisible by 4 (pad first)")
         outs = []
@@ -170,9 +184,9 @@ def tiled_apply_single_device(
             stop = min(start + tile_h, h)
             lo = max(start - halo, 0)
             hi = min(stop + halo, h)
-            tile = x[:, lo:hi, :, :]
-            y, _ = model.apply(params, state, tile, train=False)
-            outs.append(y[:, (start - lo) * scale : (stop - lo) * scale, :, :])
+            outs.append(tile_fwd(params, state, x, lo, hi - lo,
+                                 (start - lo) * scale,
+                                 (stop - start) * scale))
         return jnp.concatenate(outs, axis=1)
 
     return fn

@@ -216,6 +216,7 @@ class ServeState:
                 y, _ = model.apply(params, state, x, train=False)
                 y01 = jnp.clip(y * 0.5 + 0.5 if _tanh else y, 0.0, 1.0)
                 return (y01 * 255.0).astype(jnp.uint8)
+            self._fns[("raw", which)] = fn  # for mesh-sharded re-jits
             self._fns[which] = jax.jit(fn)
         if x.shape[1] > self.tile_threshold_rows:
             n_dev = 0 if self.mesh is None else self.mesh.devices.size
@@ -230,20 +231,61 @@ class ServeState:
                     self._fns[key] = spatial_sharded_apply(model, self.mesh)
                 return self._fns[key](params, state, x)
             if self.use_tiling:
-                from celebrity_image_denoiser_tpu.parallel.tiling import (
-                    tiled_apply_single_device,
-                )
-                scale = MODEL_CFG.get(which.split(":")[0], {}).get("scale", 1)
-                tiled = tiled_apply_single_device(
-                    model, params, state,
-                    tile_h=self.tile_threshold_rows, halo=32, scale=scale)
-                return tiled(x)
+                # memoized: the tiler jits one program per tile shape
+                # (first/middle/last); rebuilding it per request would
+                # re-trace every tile every time
+                key = ("tiled", which)
+                if key not in self._fns:
+                    from celebrity_image_denoiser_tpu.parallel.tiling import (
+                        tiled_apply_single_device,
+                    )
+                    scale = MODEL_CFG.get(
+                        which.split(":")[0], {}).get("scale", 1)
+                    self._fns[key] = tiled_apply_single_device(
+                        model, params, state,
+                        tile_h=self.tile_threshold_rows, halo=32, scale=scale)
+                return self._fns[key](x)
         if self.batchers is not None and x.shape[0] == 1:
-            fn = self._fns[which]
-            batcher = self.batchers.get(
-                (which, x.shape[1:]), lambda xs: fn(params, state, xs))
+            dispatch = self._batched_dispatch(which, params, state)
+            batcher = self.batchers.get((which, x.shape[1:]), dispatch)
             return batcher(x)
         return self._fns[which](params, state, x)
+
+    def _batched_dispatch(self, which: str, params, state):
+        """How the micro-batcher runs a coalesced batch.  With a >1-device
+        mesh the batch axis shards over the ``data`` axis (the BASELINE.json
+        north star: batched inference data-parallel across chips over ICI);
+        the batch pads to a device multiple (repeating the last row) and
+        crops back, so occupancy never constrains divisibility.  Without a
+        mesh: the plain single-device jitted forward."""
+        fn = self._fns[which]
+        n_dev = 0 if self.mesh is None else int(self.mesh.devices.size)
+        if n_dev <= 1:
+            return lambda xs: fn(params, state, xs)
+        key = ("dp", which)
+        if key not in self._fns:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = self.mesh
+            repl = NamedSharding(mesh, P())
+            bsh = NamedSharding(mesh, P("data"))
+            # same fused forward the single-device path jits (denorm +
+            # clip + u8); per-sample independent, so sharding the batch
+            # axis is bit-exact vs single-device
+            self._fns[key] = jax.jit(
+                self._fns[("raw", which)],
+                in_shardings=(repl, repl, bsh), out_shardings=bsh)
+        dp = self._fns[key]
+
+        def dispatch(xs):
+            n = xs.shape[0]
+            rem = (-n) % n_dev
+            if rem:
+                xs = jnp.concatenate(
+                    [xs, jnp.repeat(xs[-1:], rem, axis=0)], axis=0)
+            return dp(params, state, xs)[:n]
+
+        return dispatch
 
     def warmup(self, sizes=((256, 256),)) -> None:
         """Precompile the serving forwards for the given (H, W) input sizes

@@ -96,12 +96,78 @@ def load_perceptual(path: str):
     return make_vgg_perceptual(vgg, vp, vs, to_unit=trained)
 
 
+def srgan_pretrain(gen, args):
+    """Stage 1 of the real SRGAN recipe: pixel-MSE pretrain of G alone (the
+    SRResNet stage).  The reference trains perceptual+adversarial from
+    scratch (sr_ganTrainGNew.py:403-409), which lands below the bicubic PSNR
+    baseline; the published SRGAN recipe initializes G from an MSE pretrain
+    so the adversarial fine-tune starts above bicubic and stays there.
+    Returns (g_params, g_state)."""
+    size, batch = args.size, args.batch
+    adam_init, adam_update = optim.adam()
+    gp, gs = gen.init(prng.key(args.seed))
+    opt = adam_init(gp)
+
+    def loss_fn(gp, gs, key):
+        kd, kn = jax.random.split(key)
+        clean01 = synth_clean_batch(kd, batch, size)
+        noisy01 = noise_lib.random_noise_batch(
+            kn, clean01, variant=FAMILY_NOISE_VARIANT.get("srgan", 2))
+        n, h, w, c = noisy01.shape
+        lr01 = jax.image.resize(noisy01, (n, h // 4, w // 4, c), "bicubic")
+        fake, gs2 = gen.apply(gp, gs, lr01 * 2.0 - 1.0, train=True)
+        return jnp.mean((fake - (clean01 * 2.0 - 1.0)) ** 2), gs2
+
+    def chunk(carry, key, lr):
+        def body(c, k):
+            gp, gs, opt = c
+            (mse, gs2), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(gp, gs, k)
+            gp2, opt2 = adam_update(grads, opt, gp, lr)
+            return (gp2, gs2, opt2), mse
+
+        return jax.lax.scan(body, carry, jax.random.split(key, args.chunk))
+
+    chunk = jax.jit(chunk, donate_argnums=(0,))
+    carry = (gp, gs, opt)
+    n_chunks = max(1, args.pretrain_steps // args.chunk)
+    for i in range(n_chunks):
+        frac = i / n_chunks
+        lr = args.lr * (1.0 if frac < 0.6 else 0.5 if frac < 0.85 else 0.25)
+        t0 = time.perf_counter()
+        carry, mses = chunk(carry, prng.key(500 + i), jnp.float32(lr))
+        last = float(np.asarray(jax.device_get(mses[-1])))  # fences
+        dt = time.perf_counter() - t0
+        print(f"[srgan-pretrain] chunk {i + 1}/{n_chunks} "
+              f"steps {(i + 1) * args.chunk}  mse {last:.5f}  "
+              f"{args.chunk * batch / dt:.0f} img/s", flush=True)
+    return carry[0], carry[1]
+
+
 def train_family(args) -> None:
     family = args.family
     size, batch = args.size, args.batch
     gen, disc = build_models(family, size)
     perceptual = (load_perceptual(args.perceptual)
                   if family == "srgan" else None)
+    pretrained_g = None
+    if family == "srgan" and args.pretrain_steps > 0:
+        pretrained_g = srgan_pretrain(gen, args)
+        report = evaluate(family, gen, *pretrained_g, size)
+        print(f"[srgan-pretrain] held-out after stage 1: {report}")
+        if args.pixel_anchor > 0:
+            # the reference balances perceptual vs 0.001·adv with huge
+            # unnormalized ImageNet-VGG magnitudes (sr_ganTrainGNew.py:
+            # 403-409); our trained tower's distances are ~1e-3-scale, so
+            # the adv term would dominate and erase the stage-1 PSNR win.
+            # A pixel-MSE anchor in the content loss restores the balance
+            # (ESRGAN-style L1+perceptual+adv content); the framework's
+            # parity train step is untouched — this composes through the
+            # `perceptual` callable hook.
+            base_perc, w = perceptual, args.pixel_anchor
+
+            def perceptual(f, c):  # noqa: F811
+                return base_perc(f, c) + w * jnp.mean((f - c) ** 2)
     init_fn, step_fn = make_train_step(
         gen, disc, family=family,
         perceptual=perceptual,
@@ -122,12 +188,19 @@ def train_family(args) -> None:
 
     chunk = jax.jit(chunk, donate_argnums=(0,))
     carry = init_fn(prng.key(args.seed))
+    if pretrained_g is not None:
+        # stage 2 (adversarial fine-tune) starts from the stage-1 G; the
+        # G optimizer restarts fresh (standard SRGAN fine-tune practice)
+        carry = (pretrained_g[0], pretrained_g[1]) + carry[2:]
+    base_lr = args.lr
+    if pretrained_g is not None:  # adversarial fine-tune: gentler steps
+        base_lr = args.finetune_lr or args.lr / 4
     n_chunks = max(1, args.steps // args.chunk)
     t_start = time.perf_counter()
     for i in range(n_chunks):
         # simple decay: full lr for 60%, /2 to 85%, /4 after
         frac = i / n_chunks
-        lr = args.lr * (1.0 if frac < 0.6 else 0.5 if frac < 0.85 else 0.25)
+        lr = base_lr * (1.0 if frac < 0.6 else 0.5 if frac < 0.85 else 0.25)
         t0 = time.perf_counter()
         carry, m = chunk(carry, prng.key(1000 + i), jnp.float32(lr))
         psnr = float(np.asarray(jax.device_get(m["psnr"][-1])))  # fences
@@ -145,6 +218,7 @@ def train_family(args) -> None:
         out,
         {"generator": carry[0], "generator_state": carry[1]},
         meta={"family": family, "steps": n_chunks * args.chunk,
+              "pretrain_steps": args.pretrain_steps,
               "batch": batch, "size": size, "lr": args.lr,
               "data": "synthetic-v1 (data/synthetic.py), on-device",
               **report},
@@ -182,8 +256,17 @@ def evaluate(family, gen, g_params, g_state, size, n=16, seed=77):
         base01 = noisy01
     p_out = float(jnp.mean(MX.psnr(out01, clean01, data_range=1.0)))
     p_in = float(jnp.mean(MX.psnr(base01, clean01, data_range=1.0)))
-    return {"psnr_out": round(p_out, 3), "psnr_in": round(p_in, 3),
-            "gain_db": round(p_out - p_in, 3)}
+    report = {"psnr_out": round(p_out, 3), "psnr_in": round(p_in, 3),
+              "gain_db": round(p_out - p_in, 3)}
+    if family == "srgan":
+        # the SRGAN promise is perceptual quality: record the perceptual
+        # distance to clean for the generator vs the bicubic baseline so the
+        # "beats bicubic perceptually" claim is a number, not a story
+        pd = MX.PerceptualDistance.default(seed=0)
+        report["lpips_out"] = round(float(jnp.mean(pd(out01, clean01))), 5)
+        report["lpips_bicubic"] = round(
+            float(jnp.mean(pd(base01, clean01))), 5)
+    return report
 
 
 # ---- perceptual tower: denoising autoencoder over the VGG features ---------
@@ -270,6 +353,17 @@ def main(argv=None) -> int:
                     choices=["denoise", "dncnn", "srgan", "esrgan",
                              "perceptual"])
     ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--pretrain-steps", type=int, default=None,
+                    help="srgan only: pixel-MSE SRResNet pretrain steps "
+                         "before the perceptual+adversarial stage (the real "
+                         "SRGAN recipe); default 3x --steps for srgan, 0 "
+                         "otherwise")
+    ap.add_argument("--pixel-anchor", type=float, default=1.0,
+                    help="srgan stage-2 only: weight of the pixel-MSE term "
+                         "added to the perceptual content loss (0 = the "
+                         "reference's pure perceptual+adv loss)")
+    ap.add_argument("--finetune-lr", type=float, default=None,
+                    help="srgan stage-2 learning rate (default --lr / 4)")
     ap.add_argument("--chunk", type=int, default=50,
                     help="optimizer steps per device call (lax.scan length)")
     ap.add_argument("--batch", type=int, default=32)
@@ -280,6 +374,8 @@ def main(argv=None) -> int:
     ap.add_argument("--perceptual", default=None,
                     help="trained perceptual tower checkpoint dir (srgan)")
     args = ap.parse_args(argv)
+    if args.pretrain_steps is None:
+        args.pretrain_steps = 3 * args.steps if args.family == "srgan" else 0
     if args.family == "perceptual":
         train_perceptual(args)
     else:

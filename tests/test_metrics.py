@@ -174,3 +174,136 @@ def test_perceptual_dae_tower_skips_imagenet_shift():
     b = jnp.zeros((1, 16, 16, 3)) + 0.5
     assert float(loss(a, a)) == 0.0
     assert float(loss(a, b)) > 0.0
+
+
+# --- behavioral fidelity of the perceptual metric (VERDICT r2 #5) ----------
+# The reference reports LPIPS in training history (training.py:282,
+# esrgan_train.py:65); these tests assert the shipped tower behaves like a
+# perceptual metric instead of assuming it from provenance.
+
+def _gauss_blur(x, sigma):
+    """Separable reflect-padded Gaussian blur over NHWC numpy."""
+    r = int(max(1, round(3 * sigma)))
+    t = np.arange(-r, r + 1)
+    k = np.exp(-t ** 2 / (2 * sigma ** 2))
+    k /= k.sum()
+
+    def conv1d(arr, axis):
+        pad = [(0, 0)] * arr.ndim
+        pad[axis] = (r, r)
+        ap = np.pad(arr, pad, mode="reflect")
+        out = np.zeros_like(arr)
+        for i, w in enumerate(k):
+            sl = [slice(None)] * arr.ndim
+            sl[axis] = slice(i, i + arr.shape[axis])
+            out += w * ap[tuple(sl)]
+        return out
+
+    return conv1d(conv1d(x.astype(np.float64), 1), 2).astype(np.float32)
+
+
+def _shipped_pd():
+    import os
+
+    from celebrity_image_denoiser_tpu.core.config import default_weights_dir
+
+    if not os.path.isdir(os.path.join(default_weights_dir(), "perceptual")):
+        pytest.skip("no shipped perceptual tower")
+    return metrics.PerceptualDistance.default()
+
+
+def _synthetic_images(n=4, size=64, seed=3):
+    import jax
+
+    from celebrity_image_denoiser_tpu.data.synthetic import synth_clean_batch
+
+    return np.asarray(synth_clean_batch(jax.random.PRNGKey(seed), n, size))
+
+
+def _mean_d(pd, a, b):
+    return float(np.mean(np.asarray(pd(jnp.asarray(a), jnp.asarray(b)))))
+
+
+def test_perceptual_monotone_in_noise_sigma_and_blur_radius():
+    """(a) a perceptual distance must increase with distortion strength,
+    for both additive noise and blur."""
+    pd = _shipped_pd()
+    a = _synthetic_images()
+    rng = np.random.default_rng(0)
+    d_noise = [
+        _mean_d(pd, a, np.clip(a + rng.normal(0, s, a.shape), 0, 1)
+                .astype(np.float32))
+        for s in (0.02, 0.05, 0.1, 0.2)
+    ]
+    assert all(x < y for x, y in zip(d_noise, d_noise[1:])), d_noise
+    d_blur = [
+        _mean_d(pd, a, np.clip(_gauss_blur(a, s), 0, 1))
+        for s in (0.5, 1.0, 2.0, 4.0)
+    ]
+    assert all(x < y for x, y in zip(d_blur, d_blur[1:])), d_blur
+
+
+def test_perceptual_disagrees_with_psnr_on_blur_vs_noise():
+    """(b) the signature LPIPS property: at EQUAL MSE (equal PSNR), blur —
+    which destroys structure — must measure farther than additive noise,
+    which preserves it.  PSNR calls them identical; a perceptual metric must
+    not.  (This is also why perceptually-trained SR beats bicubic: the
+    bicubic baseline is exactly 'blur'.)"""
+    pd = _shipped_pd()
+    a = _synthetic_images()
+    rng = np.random.default_rng(1)
+    blurred = np.clip(_gauss_blur(a, 2.0), 0, 1)
+    mse_b = float(np.mean((blurred - a) ** 2))
+    noisy = np.clip(a + rng.normal(0, np.sqrt(mse_b), a.shape),
+                    0, 1).astype(np.float32)
+    mse_n = float(np.mean((noisy - a) ** 2))
+    # the pair really is PSNR-equal (clipping nudges the noise MSE slightly)
+    psnr_b = -10 * np.log10(mse_b)
+    psnr_n = -10 * np.log10(mse_n)
+    assert abs(psnr_b - psnr_n) < 0.5, (psnr_b, psnr_n)
+    d_blur = _mean_d(pd, a, blurred)
+    d_noise = _mean_d(pd, a, noisy)
+    assert d_blur > 1.2 * d_noise, (
+        f"perceptual metric must rate blur worse than equal-MSE noise: "
+        f"blur {d_blur:.6f} vs noise {d_noise:.6f}")
+
+
+def test_torchvision_import_path_loads_and_behaves(tmp_path):
+    """(c) the --vgg-pth import path: a torchvision-format vgg16 .pth
+    ('features.<i>.weight' keys) must actually populate the tower (the
+    'slice.' prefix remap), change the metric vs random init, satisfy the
+    same monotonicity property, and a weight-free file must raise instead of
+    masquerading as pretrained."""
+    torch = pytest.importorskip("torch")
+
+    cfg = [(0, 3, 64), (2, 64, 64), (5, 64, 128), (7, 128, 128),
+           (10, 128, 256), (12, 256, 256), (14, 256, 256)]
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+    for idx, cin, cout in cfg:
+        sd[f"features.{idx}.weight"] = \
+            torch.randn(cout, cin, 3, 3, generator=g) * 0.05
+        sd[f"features.{idx}.bias"] = torch.zeros(cout)
+    pth = str(tmp_path / "vgg16.pth")
+    torch.save(sd, pth)
+
+    pd = metrics.PerceptualDistance.from_torchvision_pth(pth)
+    assert pd.pretrained and pd.input_domain == "imagenet"
+    got = np.asarray(pd.params["slice"]["0"]["kernel"])
+    want = sd["features.0.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    a = _synthetic_images(n=2)
+    rng = np.random.default_rng(2)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+    pd_rand = metrics.PerceptualDistance(seed=0)
+    assert _mean_d(pd, a, b) != pytest.approx(_mean_d(pd_rand, a, b))
+    # same behavioral contract as the shipped tower
+    d = [_mean_d(pd, a, np.clip(a + rng.normal(0, s, a.shape), 0, 1)
+                 .astype(np.float32)) for s in (0.02, 0.1, 0.3)]
+    assert d[0] < d[1] < d[2]
+
+    junk = str(tmp_path / "junk.pth")
+    torch.save({"foo": torch.zeros(3)}, junk)
+    with pytest.raises(ValueError, match="no VGG feature weights"):
+        metrics.PerceptualDistance.from_torchvision_pth(junk)

