@@ -94,14 +94,17 @@ def bench_family(family: str, steps: int, chunk: int,
     carry = init_fn(prng.key(0))
     lr = jnp.float32(1e-4)
     # compiled-HLO FLOP count (XLA cost analysis) -> honest MFU: measured
-    # FLOP/s over the WHOLE chunk program (data synth + noise + fwd + bwd +
-    # optimizer + metrics) divided by the v5e bf16 MXU peak
+    # FLOP/s over the whole step program (data synth + noise + fwd + bwd +
+    # optimizer + metrics) divided by the v5e bf16 MXU peak.  XLA's cost
+    # analysis counts a while-loop body ONCE regardless of trip count
+    # (verified: reported flops are chunk-invariant), so the chunk program's
+    # flops ARE per-step — no /chunk.
     flops_per_step = None
     try:
         compiled = run_chunk.lower(carry, prng.key(1), lr).compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops_per_step = float(ca["flops"]) / chunk
+        flops_per_step = float(ca["flops"])
     except Exception:
         pass
     carry, losses = run_chunk(carry, prng.key(1), lr)  # compile + warm

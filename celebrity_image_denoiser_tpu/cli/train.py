@@ -69,10 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize generator activations (jax.checkpoint)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-data-parallel", action="store_true")
-    p.add_argument("--compute-dtype", default="float32",
+    p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
-                   help="bfloat16: model fwd/bwd in bf16 with f32 MXU "
-                        "accumulation (params/optimizer/metrics stay f32)")
+                   help="bfloat16 (default): model fwd/bwd in bf16 with f32 "
+                        "MXU accumulation (params/optimizer/metrics stay "
+                        "f32) — 1.15-1.9x faster on v5e, metrics track f32 "
+                        "to <1e-3 (tests/test_train.py). float32: the "
+                        "reference's numeric behavior exactly")
     p.add_argument("--extra-metrics", default="off",
                    choices=["off", "epoch", "batch"],
                    help="LPIPS-style + MS-SSIM history: 'batch' computes "

@@ -287,15 +287,19 @@ class ServeState:
 
         return dispatch
 
-    def warmup(self, sizes=((256, 256),)) -> None:
+    def warmup(self, sizes=((256, 256),), models=None) -> None:
         """Precompile the serving forwards for the given (H, W) input sizes
         so first real requests skip XLA compilation (~36-61 s per model on
         the tunneled v5e).  Sizes are taken pre-padding; each model warms at
-        its padded shape."""
+        its padded shape.  ``models``: restrict to these families (warming
+        all five × every size × the micro-batch size series is 5×|sizes|×5
+        compiles — a load test for one model shouldn't pay for the rest)."""
         import time
 
         for h, w in sizes:
             for name, model in self.models.items():
+                if models is not None and name not in models:
+                    continue
                 cfg = MODEL_CFG[name]
                 divisor = cfg["pad_divisor"]
                 if self.bucket_divisor:
