@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "them on every batch inside the jitted step (the "
                         "reference's per-batch curves, device-side); 'epoch' "
                         "samples the held-out test pair once per epoch")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the training run to "
+                        "this directory (open with Perfetto/TensorBoard; "
+                        "utils/profiling.py — the reference has no profiling "
+                        "at all, SURVEY §5)")
     from celebrity_image_denoiser_tpu.core.compile_cache import add_cli_arg
 
     add_cli_arg(p)
@@ -245,7 +250,13 @@ def main(argv=None) -> int:
                          perceptual=perceptual, mesh=mesh, extra_metrics=extra)
     if args.resume:
         trainer.resume()
-    history = trainer.train()
+    if args.profile_dir:
+        from celebrity_image_denoiser_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            history = trainer.train()
+    else:
+        history = trainer.train()
     plot_metrics(history, cfg.graph_dir)
     return 0
 

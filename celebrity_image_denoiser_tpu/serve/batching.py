@@ -19,9 +19,10 @@ requests into one device batch:
 
 from __future__ import annotations
 
+import contextlib
 import threading
 import time
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -33,6 +34,34 @@ def _pow2_at_least(n: int, cap: int) -> int:
     return min(p, cap)
 
 
+def default_fence(ys):
+    """Fence AND fetch: return the finished batch as host numpy.
+
+    JAX dispatch is asynchronous: without a fence the batcher returns in
+    ~ms, no queue ever builds, and the coalescing window is the ONLY
+    batching mechanism — measured at a 32-way mixed-shape load, batches ==
+    requests (batch size 1 throughout).  Fencing the leader inside the
+    in-flight slot creates backpressure: arrivals pile up in ``pending``
+    while the device is busy and the next leader drains them as one batch,
+    so the batch size adapts to the service time (continuous batching).
+
+    The fence is ``device_get`` of the WHOLE batch, not a scalar probe:
+    a scalar needs its own slice program (one XLA compile per batched
+    shape — measured 100+ s runtime stalls over the tunnel), while the
+    batch bytes are exactly what the n waiters were about to fetch as n
+    separate slice transfers anyway; one bulk D2H is strictly cheaper on
+    a 25 MB/s link, and waiters then slice numpy for free.
+    ``block_until_ready`` alone is not a barrier on the tunneled axon
+    backend (bench.py / CLAUDE.md)."""
+    import jax
+    import numpy as np
+
+    try:
+        return np.asarray(jax.device_get(ys))
+    except (AttributeError, TypeError):  # non-array fn result (tests/mocks)
+        return ys
+
+
 class MicroBatcher:
     """Coalesce concurrent single-image forwards into device batches.
 
@@ -41,7 +70,9 @@ class MicroBatcher:
     mode).  Call with x of shape (1, H, W, C); returns (1, ...)."""
 
     def __init__(self, fn: Callable, window_ms: float = 3.0,
-                 max_batch: int = 16):
+                 max_batch: int = 16,
+                 slot: Optional[threading.Semaphore] = None,
+                 fence: Optional[Callable] = None):
         # validate up front: a failing leader must never be possible for
         # config reasons — waiters block deadline-free on its finally-block
         if not (window_ms >= 0):
@@ -51,6 +82,16 @@ class MicroBatcher:
         self.fn = fn
         self.window_s = window_ms / 1e3
         self.max_batch = max_batch
+        # ``slot``: a semaphore bounding in-flight device batches, shared
+        # across the pool (the device runs one program at a time anyway);
+        # ``fence`` blocks on completion inside the slot.  Together they
+        # create the backpressure that makes batch size adapt to load —
+        # without them dispatch is async and every batch is size ~1 (see
+        # default_fence).  The leader acquires the slot BEFORE draining, so
+        # everything that arrived while the previous batch executed lands
+        # in its batch.
+        self.slot = slot
+        self.fence = fence
         self.lock = threading.Lock()
         self.pending = []  # list of dicts: {x, ev, y|err}
         self._full = threading.Event()  # set when a full batch is waiting
@@ -68,13 +109,17 @@ class MicroBatcher:
             batch = []
             try:
                 # wait up to the window, but dispatch immediately once a
-                # full batch has accumulated (no dead time at saturation)
+                # full batch has accumulated (no dead time at saturation);
+                # then take a device slot BEFORE draining — while a prior
+                # batch executes, arrivals keep landing in pending and all
+                # of them ride this leader's batch once the slot frees
                 self._full.wait(self.window_s)
-                with self.lock:
-                    batch = self.pending
-                    self.pending = []
-                    self._full.clear()
-                self._run(batch)
+                with self.slot or contextlib.nullcontext():
+                    with self.lock:
+                        batch = self.pending
+                        self.pending = []
+                        self._full.clear()
+                    self._run(batch)
             except BaseException as e:
                 # a leader failure outside _run's per-chunk handling must
                 # not strand waiters: fail everything this leader was
@@ -111,6 +156,8 @@ class MicroBatcher:
                     [b["x"] for b in chunk]
                     + [chunk[-1]["x"]] * (padded - n), axis=0)
                 ys = self.fn(xs)
+                if self.fence is not None:
+                    ys = self.fence(ys)  # fence + bulk D2H (host numpy)
                 with self.lock:
                     self.batches_run += 1
                     self.requests_served += n
@@ -135,9 +182,14 @@ class MicroBatcher:
 
 
 class BatcherPool:
-    """One MicroBatcher per (model, input shape) key."""
+    """One MicroBatcher per (model, input shape) key.
 
-    def __init__(self, window_ms: float, max_batch: int = 16):
+    All batchers share one in-flight slot (``max_inflight`` device batches
+    at a time, default 2: one executing + one dispatching hides the tunnel
+    RTT without destroying the backpressure that lets batches build)."""
+
+    def __init__(self, window_ms: float, max_batch: int = 16,
+                 max_inflight: int = 2):
         # validate at construction (server startup), not on the first
         # request — a per-request ValueError would be swallowed into
         # perpetual 500s by the handler's catch-all
@@ -145,8 +197,11 @@ class BatcherPool:
             raise ValueError(f"window_ms must be >= 0, got {window_ms}")
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        if max_inflight < 1:
+            raise ValueError(f"max_inflight must be >= 1, got {max_inflight}")
         self.window_ms = window_ms
         self.max_batch = max_batch
+        self._slot = threading.BoundedSemaphore(max_inflight)
         self._lock = threading.Lock()
         self._batchers: Dict[Tuple, MicroBatcher] = {}
 
@@ -155,7 +210,8 @@ class BatcherPool:
             b = self._batchers.get(key)
             if b is None:
                 b = self._batchers[key] = MicroBatcher(
-                    fn, self.window_ms, self.max_batch)
+                    fn, self.window_ms, self.max_batch,
+                    slot=self._slot, fence=default_fence)
             return b
 
     def stats(self) -> dict:
