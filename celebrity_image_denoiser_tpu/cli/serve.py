@@ -30,6 +30,11 @@ def build_parser():
                         "device batch, waiting up to this many ms (off by "
                         "default; big throughput win under load)")
     p.add_argument("--microbatch-max", type=int, default=16)
+    p.add_argument("--quantize", default="off", choices=["off", "int8"],
+                   help="int8: post-training-quantized serving forwards "
+                        "(per-channel weights, calibrated activations; "
+                        "ops/quant.py) — ~1.2x throughput on v5e at ~50 dB "
+                        "agreement with the float path (kernel_notes.md)")
     from celebrity_image_denoiser_tpu.core.compile_cache import add_cli_arg
 
     add_cli_arg(p)
@@ -77,7 +82,9 @@ def main(argv=None) -> int:
     state = ServeState(weights_dir=args.weights_dir, mesh=mesh,
                        tile_threshold_rows=args.tile_threshold_rows,
                        microbatch_window_ms=args.microbatch_ms,
-                       microbatch_max=args.microbatch_max)
+                       microbatch_max=args.microbatch_max,
+                       quantize=None if args.quantize == "off"
+                       else args.quantize)
     if args.framework == "fastapi":
         import uvicorn
 

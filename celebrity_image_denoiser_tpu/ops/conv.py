@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from celebrity_image_denoiser_tpu.ops import quant
+
 IntOr2 = Union[int, Tuple[int, int], Sequence[int]]
 
 # Trace-time flag: inside a differentiated training step, a low-precision
@@ -77,16 +79,23 @@ def conv2d(
     pet = preferred_dtype
     if _AD_SAFE.get() and jnp.dtype(x.dtype) != jnp.dtype(preferred_dtype):
         pet = None
-    y = lax.conv_general_dilated(
-        x,
-        kernel.astype(x.dtype),
-        window_strides=(sh, sw),
-        padding=((ph, ph), (pw, pw)),
-        rhs_dilation=(dh, dw),
-        dimension_numbers=DIMENSION_NUMBERS,
-        feature_group_count=groups,
-        preferred_element_type=pet,
-    ).astype(x.dtype)
+
+    def _run(xx, kk, pet_):
+        return lax.conv_general_dilated(
+            xx,
+            kk,
+            window_strides=(sh, sw),
+            padding=((ph, ph), (pw, pw)),
+            rhs_dilation=(dh, dw),
+            dimension_numbers=DIMENSION_NUMBERS,
+            feature_group_count=groups,
+            preferred_element_type=pet_,
+        )
+
+    # int8 serving path / calibration tap (ops/quant.py); None = float path
+    y = quant.conv_hook(x, kernel, -1, _run)
+    if y is None:
+        y = _run(x, kernel.astype(x.dtype), pet).astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
@@ -116,21 +125,30 @@ def conv2d_transpose(
     kh, kw = int(kernel.shape[0]), int(kernel.shape[1])
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
-    # Flip spatially and swap the channel axes to HWIO with I=C_in, O=C_out.
-    k = jnp.flip(kernel, axis=(0, 1))
-    k = jnp.swapaxes(k, 2, 3)  # (kH, kW, C_in, C_out)
     pet = preferred_dtype
     if _AD_SAFE.get() and jnp.dtype(x.dtype) != jnp.dtype(preferred_dtype):
         pet = None  # see conv2d: AD-transposability with low-precision inputs
-    y = lax.conv_general_dilated(
-        x,
-        k.astype(x.dtype),
-        window_strides=(1, 1),
-        padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
-        lhs_dilation=(sh, sw),
-        dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=pet,
-    ).astype(x.dtype)
+
+    def _run(xx, kk, pet_):
+        # Flip spatially, swap channel axes to HWIO with I=C_in, O=C_out —
+        # inside the closure so the int8 path's quantized kernel gets the
+        # identical treatment.
+        k2 = jnp.swapaxes(jnp.flip(kk, axis=(0, 1)), 2, 3)
+        return lax.conv_general_dilated(
+            xx,
+            k2,
+            window_strides=(1, 1),
+            padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+            lhs_dilation=(sh, sw),
+            dimension_numbers=DIMENSION_NUMBERS,
+            preferred_element_type=pet_,
+        )
+
+    # int8 serving path / calibration tap (ops/quant.py); raw-kernel
+    # out-channel axis is 2 for the (kH, kW, C_out, C_in) transpose layout
+    y = quant.conv_hook(x, kernel, 2, _run)
+    if y is None:
+        y = _run(x, kernel.astype(x.dtype), pet).astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

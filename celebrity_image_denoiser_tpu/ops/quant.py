@@ -1,0 +1,156 @@
+"""Post-training int8 quantization for the serving path.
+
+TPU-native capability with no reference counterpart (the reference serves
+f32 torch, backend/app.py:392): the v5e MXU runs int8 at 2× the bf16 rate
+(394 vs 197 TOPS peak; measured 1.62× on the 64-wide 3×3 convs that
+dominate the serving models, benchmarks/kernel_notes.md round 3).
+
+Design: a *transform over the existing model code*, not a parallel model
+zoo.  ``ops.conv2d`` / ``ops.conv2d_transpose`` call the hook below on
+every invocation; under a calibration context each conv records its
+input's max-|x| (one eager forward over calibration data), and under an
+int8 context each conv re-runs as
+
+    x_i8 = round(clip(x / s_x))          # per-tensor symmetric activation
+    y_i32 = conv(x_i8, w_i8)             # MXU int8, i32 accumulation
+    y = y_i32 * (s_x * s_w[c_out])       # per-output-channel weight scales
+
+with bias/activation/BN staying in the float dtype around it, so model
+definitions (and their reference-parity quirks) are untouched.  Convs the
+policy skips (tiny C_in/C_out first/last layers: quality-sensitive and
+bandwidth-bound anyway) run the normal float path.
+
+Call order under tracing is deterministic, so calibration entries replay
+positionally when the quantized forward is traced — the standard
+tape-by-call-site PTQ approach.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import contextvars
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+_MODE = contextvars.ContextVar("cid_quant_mode", default=None)
+
+
+class _Calibrate:
+    """Records (max|x|, kernel, per-out-channel axis) per conv call."""
+
+    def __init__(self):
+        self.taps: List[tuple] = []
+
+
+class _Int8Apply:
+    """Replays quantized entries positionally; ``entries[i] is None`` means
+    'run this conv in float' (skip policy)."""
+
+    def __init__(self, entries: List[Optional[tuple]]):
+        self.entries = entries
+        self.i = 0
+
+
+def default_skip_policy(kernel: jax.Array) -> bool:
+    """Skip quantization for convs with tiny channel counts: the 3-channel
+    image-side layers are bandwidth-bound (not MXU-bound — kernel_notes
+    round 3's first-layer receipts) and pixel-adjacent, i.e. all cost and
+    no win."""
+    c_in, c_out = int(kernel.shape[-2]), int(kernel.shape[-1])
+    return c_in < 8 or c_out < 8
+
+
+def quantize_weight(kernel: jax.Array, out_axis: int = -1):
+    """Symmetric per-output-channel int8 weight quantization."""
+    k = jnp.asarray(kernel, jnp.float32)
+    reduce_axes = tuple(i for i in range(k.ndim)
+                        if i != (out_axis % k.ndim))
+    amax = jnp.max(jnp.abs(k), axis=reduce_axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    w_i8 = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    # scale broadcastable against (N, H, W, C_out) outputs
+    return w_i8, scale.reshape(-1)
+
+
+def conv_hook(x: jax.Array, kernel: jax.Array, out_axis: int,
+              run: Callable) -> Optional[jax.Array]:
+    """Called by ops.conv2d / conv2d_transpose before the float conv.
+
+    ``run(x_q, k_q, preferred_element_type)`` executes the underlying
+    ``lax.conv_general_dilated`` with substituted operands.  Returns the
+    quantized output (pre-bias, in ``x.dtype``), or None → caller runs the
+    normal float path."""
+    mode = _MODE.get()
+    if mode is None:
+        return None
+    if isinstance(mode, _Calibrate):
+        mode.taps.append(
+            (jnp.max(jnp.abs(jnp.asarray(x, jnp.float32))), kernel, out_axis))
+        return None
+    entry = mode.entries[mode.i]
+    mode.i += 1
+    if entry is None:
+        return None
+    w_i8, w_scale, s_x = entry
+    xf = jnp.asarray(x, jnp.float32)
+    x_i8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    y_i32 = run(x_i8, w_i8, jnp.int32)
+    return (y_i32.astype(jnp.float32) * (s_x * w_scale)).astype(x.dtype)
+
+
+@contextlib.contextmanager
+def _mode(m):
+    tok = _MODE.set(m)
+    try:
+        yield
+    finally:
+        _MODE.reset(tok)
+
+
+def quantize_apply(model, params, state, calib_x,
+                   skip: Callable = default_skip_policy):
+    """Build an int8-quantized eval forward for ``model``.
+
+    One eager forward over ``calib_x`` (a representative input batch in the
+    model's serving domain) records per-conv activation ranges; weights get
+    per-output-channel scales.  Returns ``qapply(x) -> y`` (jittable, eval
+    mode), with the int8 weights baked in as program constants.
+    """
+    calib = _Calibrate()
+    with _mode(calib):
+        model.apply(params, state, calib_x, train=False)
+    if not calib.taps:
+        raise ValueError("no convs were traced — nothing to quantize")
+    entries: List[Optional[tuple]] = []
+    for amax_x, kernel, out_axis in calib.taps:
+        if skip(kernel):
+            entries.append(None)
+            continue
+        w_i8, w_scale = quantize_weight(kernel, out_axis)
+        s_x = jnp.maximum(jnp.asarray(amax_x, jnp.float32), 1e-12) / 127.0
+        entries.append((w_i8, w_scale, s_x))
+
+    def qapply(x):
+        ctx = _Int8Apply(list(entries))
+        with _mode(ctx):
+            y, _ = model.apply(params, state, x, train=False)
+        return y
+
+    return qapply
+
+
+def quantized_fraction(model, params, state, calib_x,
+                       skip: Callable = default_skip_policy) -> float:
+    """Fraction of conv FLOPs the policy quantizes (observability)."""
+    calib = _Calibrate()
+    with _mode(calib):
+        model.apply(params, state, calib_x, train=False)
+    tot = q = 0.0
+    for _, kernel, _ in calib.taps:
+        f = float(jnp.size(kernel))
+        tot += f
+        if not skip(kernel):
+            q += f
+    return q / max(tot, 1.0)

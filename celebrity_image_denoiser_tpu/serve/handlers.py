@@ -107,7 +107,8 @@ class ServeState:
                  tile_threshold_rows: int = 2048, use_tiling: bool = True,
                  bucket_divisor: Optional[int] = None, mesh=None,
                  microbatch_window_ms: Optional[float] = None,
-                 microbatch_max: int = 16):
+                 microbatch_max: int = 16,
+                 quantize: Optional[str] = None):
         """``bucket_divisor`` (e.g. 64): round pad-to sizes up to this
         multiple so arbitrary request shapes hit a small set of compiled
         programs instead of recompiling per shape.  Off by default — the
@@ -124,7 +125,16 @@ class ServeState:
         ``microbatch_window_ms``: coalesce concurrent same-shape requests
         into one device batch (serve/batching.py) — off by default (adds
         that much latency); a large throughput win under load vs the
-        reference's strictly batch-1 forwards."""
+        reference's strictly batch-1 forwards.
+
+        ``quantize="int8"``: post-training-quantized forwards (per-channel
+        int8 weights + calibrated activation scales, ops/quant.py) — ~1.2×
+        serving throughput on v5e at ~50 dB agreement with the float path
+        (kernel_notes.md round 3); gated by
+        test_quantized_serving_quality_gate."""
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+        self.quantize = quantize
         self.weights_dir = weights_dir or default_weights_dir()
         self.tile_threshold_rows = tile_threshold_rows
         self.use_tiling = use_tiling
@@ -211,9 +221,14 @@ class ServeState:
             base = which.split(":")[0]
             tanh = (MODEL_CFG.get(base, {}).get("activation") == "tanh"
                     or which == "cgan:keras")
+            qapply = self._maybe_quantize(which, model, params, state, tanh)
 
-            def fn(params, state, x, _tanh=tanh):
-                y, _ = model.apply(params, state, x, train=False)
+            def fn(params, state, x, _tanh=tanh, _q=qapply):
+                if _q is not None:
+                    y = _q(x)  # int8 path; weights baked in (fixed serving
+                    # params), the params/state args are ignored
+                else:
+                    y, _ = model.apply(params, state, x, train=False)
                 y01 = jnp.clip(y * 0.5 + 0.5 if _tanh else y, 0.0, 1.0)
                 return (y01 * 255.0).astype(jnp.uint8)
             self._fns[("raw", which)] = fn  # for mesh-sharded re-jits
@@ -250,6 +265,34 @@ class ServeState:
             batcher = self.batchers.get((which, x.shape[1:]), dispatch)
             return batcher(x)
         return self._fns[which](params, state, x)
+
+    def _maybe_quantize(self, which: str, model, params, state, tanh: bool):
+        """Build (once per model) the int8-quantized eval forward when
+        ``quantize="int8"``.  Calibration runs on a synthetic noisy batch in
+        the family's serving domain ([-1,1] tanh / [0,1] unit); activation
+        scales are shape-independent, so one calibration covers every
+        request size.  The torch-cGAN latent path bypasses _forward and
+        stays float."""
+        if self.quantize != "int8":
+            return None
+        key = ("qapply", which)
+        if key not in self._fns:
+            import jax as _jax
+
+            from celebrity_image_denoiser_tpu.data.synthetic import (
+                synth_clean_batch,
+            )
+            from celebrity_image_denoiser_tpu.ops import quant
+
+            clean01 = synth_clean_batch(_jax.random.PRNGKey(0), 8, 128)
+            noisy01 = jnp.clip(
+                clean01 + 0.12 * _jax.random.normal(
+                    _jax.random.PRNGKey(1), clean01.shape), 0.0, 1.0)
+            calib = noisy01 * 2.0 - 1.0 if tanh else noisy01
+            self._fns[key] = quant.quantize_apply(model, params, state, calib)
+            logger.info("[%s] int8-quantized serving forward built "
+                        "(ops/quant.py)", which)
+        return self._fns[key]
 
     def _batched_dispatch(self, which: str, params, state):
         """How the micro-batcher runs a coalesced batch.  With a >1-device

@@ -1,0 +1,118 @@
+"""Int8 post-training quantization (ops/quant.py) — serving-path speedup
+with no reference counterpart (the reference serves f32 torch,
+backend/app.py:392).  Receipts: benchmarks/kernel_notes.md round 3
+(14.1k vs 11.8k imgs/s headline, 51.6 dB agreement on the real chip)."""
+
+import base64
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from celebrity_image_denoiser_tpu import models
+from celebrity_image_denoiser_tpu.core import prng
+from celebrity_image_denoiser_tpu.ops import quant
+
+
+def test_quantize_weight_roundtrip_error_bound():
+    """Per-output-channel symmetric int8: dequantized weights within half a
+    quantization step of the original, per channel."""
+    rng = np.random.default_rng(0)
+    # wildly different per-channel magnitudes — the per-channel property
+    w = (rng.normal(0, 1, (3, 3, 16, 8)) *
+         (10.0 ** rng.uniform(-2, 1, 8))).astype(np.float32)
+    w_i8, scale = quant.quantize_weight(jnp.asarray(w))
+    assert w_i8.dtype == jnp.int8 and scale.shape == (8,)
+    deq = np.asarray(w_i8, np.float32) * np.asarray(scale)
+    err = np.abs(deq - w)
+    assert (err <= 0.5 * np.asarray(scale) + 1e-7).all()
+    # per-channel beats per-tensor on this spread by construction
+    assert float(err.max()) < float(np.abs(w).max()) / 127.0
+
+
+def test_quantized_unet_agrees_with_float():
+    """The generic transform quantizes ~all conv params of the U-Net through
+    the unchanged model code and tracks the float forward closely."""
+    model = models.DenoiseGenerator()
+    params, state = model.init(prng.key(0))
+    rng = np.random.default_rng(1)
+    calib = jnp.asarray(rng.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32))
+    frac = quant.quantized_fraction(model, params, state, calib)
+    assert frac > 0.95  # first/last 3-channel convs are policy-skipped
+    qapply = quant.quantize_apply(model, params, state, calib)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    yq = np.asarray(jax.jit(qapply)(x))
+    yf = np.asarray(model.apply(params, state, x, train=False)[0])
+    mse = float(np.mean((yq - yf) ** 2))
+    agree_db = 10 * np.log10(4.0 / max(mse, 1e-12))  # [-1,1] range
+    assert agree_db > 40.0, f"int8 agreement only {agree_db:.1f} dB"
+    # shapes including the transpose-conv upsamples survive quantization
+    assert yq.shape == yf.shape
+
+
+def test_skip_policy_keeps_image_side_layers_float():
+    k3 = jnp.zeros((3, 3, 3, 64))
+    k64 = jnp.zeros((3, 3, 64, 64))
+    kout = jnp.zeros((3, 3, 64, 3))
+    assert quant.default_skip_policy(k3)
+    assert quant.default_skip_policy(kout)
+    assert not quant.default_skip_policy(k64)
+
+
+def test_quantized_dncnn_with_batchnorm():
+    """BN (eval affine) stays float around the int8 convs; the residual
+    head (C_out=3) is policy-skipped."""
+    model = models.DnCNN(depth=6)
+    params, state = model.init(prng.key(2))
+    rng = np.random.default_rng(3)
+    calib = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    qapply = quant.quantize_apply(model, params, state, calib)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    yq = np.asarray(qapply(x))
+    yf = np.asarray(model.apply(params, state, x, train=False)[0])
+    mse = float(np.mean((yq - yf) ** 2))
+    assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 40.0
+
+
+def test_quantized_serving_quality_gate(tmp_path):
+    """ServeState(quantize="int8") through the full /enhance path with the
+    shipped weights: output agrees with the float serving output (>=40 dB on
+    u8 pixels) and the model still denoises (same gain gate as the float
+    path).  This is the quality gate behind cli.serve --quantize int8."""
+    import os
+
+    from PIL import Image
+
+    from celebrity_image_denoiser_tpu.core.config import default_weights_dir
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    wd = default_weights_dir()
+    if not os.path.isdir(os.path.join(wd, "dncnn")):
+        pytest.skip("no shipped dncnn checkpoint")
+
+    from tests.test_serve import _psnr_u8, _structured_clean
+
+    clean = _structured_clean(128)
+    rng = np.random.default_rng(4)
+    noisy = np.clip(clean.astype(np.float64) + rng.normal(0, 25, clean.shape),
+                    0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(noisy).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    st_f = ServeState(weights_dir=wd, seed=0)
+    st_q = ServeState(weights_dir=wd, seed=0, quantize="int8")
+    for model_name in ("dncnn", "denoise"):
+        rf = st_f.enhance(model_name, png, "image/png", include_graph=False)
+        rq = st_q.enhance(model_name, png, "image/png", include_graph=False)
+        yf = np.asarray(Image.open(io.BytesIO(
+            base64.b64decode(rf["denoised_image_base64"])))).astype(np.float32)
+        yq = np.asarray(Image.open(io.BytesIO(
+            base64.b64decode(rq["denoised_image_base64"])))).astype(np.float32)
+        mse = float(np.mean((yf - yq) ** 2))
+        agree_db = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+        assert agree_db > 40.0, f"{model_name}: int8 vs float {agree_db:.1f} dB"
+        gain = _psnr_u8(yq.astype(np.uint8), clean) - _psnr_u8(noisy, clean)
+        assert gain > 1.0, f"{model_name}: quantized gain only {gain:.2f} dB"
