@@ -284,14 +284,23 @@ class ServeState:
             )
             from celebrity_image_denoiser_tpu.ops import quant
 
-            clean01 = synth_clean_batch(_jax.random.PRNGKey(0), 8, 128)
-            noisy01 = jnp.clip(
-                clean01 + 0.12 * _jax.random.normal(
-                    _jax.random.PRNGKey(1), clean01.shape), 0.0, 1.0)
-            calib = noisy01 * 2.0 - 1.0 if tanh else noisy01
-            self._fns[key] = quant.quantize_apply(model, params, state, calib)
-            logger.info("[%s] int8-quantized serving forward built "
-                        "(ops/quant.py)", which)
+            try:
+                clean01 = synth_clean_batch(_jax.random.PRNGKey(0), 8, 128)
+                noisy01 = jnp.clip(
+                    clean01 + 0.12 * _jax.random.normal(
+                        _jax.random.PRNGKey(1), clean01.shape), 0.0, 1.0)
+                calib = noisy01 * 2.0 - 1.0 if tanh else noisy01
+                self._fns[key] = quant.quantize_apply(
+                    model, params, state, calib)
+                logger.info("[%s] int8-quantized serving forward built "
+                            "(ops/quant.py)", which)
+            except Exception as e:
+                # warn-and-continue like weight loading (app.py:333-336's
+                # spirit): a model that can't calibrate serves float
+                self._fns[key] = None
+                logger.warning(
+                    "[%s] int8 quantization failed (%s); serving the float "
+                    "forward for this model", which, e)
         return self._fns[key]
 
     def _batched_dispatch(self, which: str, params, state):

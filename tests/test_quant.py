@@ -76,6 +76,31 @@ def test_quantized_dncnn_with_batchnorm():
     assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 40.0
 
 
+def test_quantized_serving_all_models_respond():
+    """Every served model family answers /enhance under quantize="int8" —
+    either with the quantized forward or the warn-and-continue float
+    fallback (a model that can't calibrate must degrade, not 500)."""
+    from PIL import Image
+
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    st = ServeState(weights_dir=None, seed=0, quantize="int8")
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    png = buf.getvalue()
+    for model_name, kw in (("denoise", {}), ("dncnn", {}), ("esrgan", {}),
+                           ("srgan", {}), ("cgan", {"label": 3})):
+        res = st.enhance(model_name, png, "image/png", include_graph=False,
+                         **kw)
+        out = np.asarray(Image.open(io.BytesIO(
+            base64.b64decode(res["denoised_image_base64"]))))
+        scale = 4 if model_name == "srgan" else 1
+        if model_name != "cgan" or res["backend"] == "keras":
+            assert out.shape == (64 * scale, 64 * scale, 3), model_name
+
+
 def test_quantized_serving_quality_gate(tmp_path):
     """ServeState(quantize="int8") through the full /enhance path with the
     shipped weights: output agrees with the float serving output (>=40 dB on
