@@ -36,8 +36,11 @@ import numpy as np
 TARGET = 10_000.0  # north star: ≥10k 128² denoises/sec/chip
 BATCH = 2048  # throughput saturates ~here (benchmarks/kernel_notes.md)
 N_ITERS = 12
-WATCHDOG_S = 600  # the tunneled worker can wedge (never-returning fetches);
-                  # emit a diagnostic line and exit instead of hanging the driver
+WATCHDOG_S = 900  # the tunneled worker can wedge (never-returning fetches);
+                  # emit a diagnostic line and exit instead of hanging the
+                  # driver.  900 s: the bench compiles four programs (bf16 +
+                  # int8, probe + full batch) and remote compiles have been
+                  # observed taking minutes each on a degraded worker.
 
 
 def _arm_watchdog():
@@ -64,8 +67,10 @@ def _arm_watchdog():
 def main():
     watchdog = _arm_watchdog()
     from celebrity_image_denoiser_tpu import models
-    from celebrity_image_denoiser_tpu.core import prng
+    from celebrity_image_denoiser_tpu.core import compile_cache, prng
     from celebrity_image_denoiser_tpu.ops import quant
+
+    compile_cache.enable()  # repeat driver runs skip the four XLA compiles
 
     model = models.DenoiseGenerator()
     params, state = model.init(prng.key(0))

@@ -142,9 +142,12 @@ def load_pth_safely(
     params: Dict[str, Any],
     state: Dict[str, Any],
     key_candidates=("generator", "state_dict", "G"),
+    key_map=None,
 ):
     """Tolerant .pth loader mirroring app.py:257-274.  Requires torch on the
-    host to unpickle; raises ImportError with a clear message otherwise."""
+    host to unpickle; raises ImportError with a clear message otherwise.
+    ``key_map(name) -> name`` optionally renames state-dict keys before
+    import (e.g. torchvision's ``features.<i>.*`` → our ``slice.<i>.*``)."""
     try:
         import torch
     except ImportError as e:  # pragma: no cover
@@ -161,6 +164,9 @@ def load_pth_safely(
             sd = ckpt
     else:
         sd = ckpt
+    if key_map is not None and isinstance(sd, dict):
+        sd = {key_map(k) if isinstance(k, str) else k: v
+              for k, v in sd.items()}
     out = import_torch_state_dict(module, sd, params, state, strict=False)
     logger.info("Loaded PyTorch weights from %s", checkpoint_path)
     return out

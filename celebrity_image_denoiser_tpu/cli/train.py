@@ -140,25 +140,42 @@ def main(argv=None) -> int:
         # in [0,1] (CLAUDE.md conventions); adapt the cached domain or warn
         # when a pre-meta cache can't declare it
         log = get_logger("cid_tpu.cli.train")
-        if dataset.normalized is None:
-            if args.tensor_cache_domain is not None:
-                dataset.normalized = args.tensor_cache_domain == "tanh"
-                log.info("--tensor-cache has no meta.json; using declared "
-                         "--tensor-cache-domain=%s", args.tensor_cache_domain)
+        if args.tensor_cache_domain is not None:
+            # an explicit declaration always wins — including over the .pt
+            # reader's torchvision-[0,1] assumption (normalized=False is an
+            # assumption there, not recorded metadata)
+            declared = args.tensor_cache_domain == "tanh"
+            if dataset.normalized is not None \
+                    and bool(dataset.normalized) != declared:
+                log.info(
+                    "declared --tensor-cache-domain=%s overrides the "
+                    "cache's assumed domain", args.tensor_cache_domain)
             else:
-                # probe: a [-1,1] cache has negative values with near
-                # certainty; a genuinely non-negative cache is [0,1]
-                probe_min = min(
-                    float(min(a.min() for a in pair))
-                    for pair in (dataset[i]
-                                 for i in range(min(4, len(dataset))))
-                    if pair is not None)
-                dataset.normalized = probe_min < -1e-3
-                log.warning(
-                    "--tensor-cache has no meta.json; probed sample min "
-                    "%.4f => treating as %s — pass --tensor-cache-domain "
-                    "or rebuild the cache to make this explicit",
-                    probe_min, "[-1,1]" if dataset.normalized else "[0,1]")
+                log.info("using declared --tensor-cache-domain=%s",
+                         args.tensor_cache_domain)
+            dataset.normalized = declared
+        elif dataset.normalized is None:
+            # probe: a [-1,1] cache has negative values with near
+            # certainty; a genuinely non-negative cache is [0,1]
+            mins = [
+                float(min(a.min() for a in pair))
+                for pair in (dataset[i]
+                             for i in range(min(4, len(dataset))))
+                if pair is not None
+            ]
+            if not mins:
+                raise ValueError(
+                    f"--tensor-cache {args.tensor_cache}: none of the first "
+                    f"{min(4, len(dataset))} pairs could be read, so its "
+                    "numeric domain can't be probed — fix the cache or pass "
+                    "--tensor-cache-domain explicitly")
+            probe_min = min(mins)
+            dataset.normalized = probe_min < -1e-3
+            log.warning(
+                "--tensor-cache has no meta.json; probed sample min "
+                "%.4f => treating as %s — pass --tensor-cache-domain "
+                "or rebuild the cache to make this explicit",
+                probe_min, "[-1,1]" if dataset.normalized else "[0,1]")
         cached_norm = bool(dataset.normalized)
         if cached_norm != (not zero_one_family):
             lo, hi = ((-1, 1) if not zero_one_family else (0, 1))

@@ -193,7 +193,10 @@ class TorchTensorPairDataset:
     is needed only to unpickle; items come back as numpy.
     """
 
-    normalized = False  # torchvision ToTensor domain: [0,1]
+    # torchvision ToTensor domain assumption (esrgan_preprocessing.py uses
+    # ToTensor, which is [0,1]) — NOT recorded metadata; an explicit
+    # `cli.train --tensor-cache-domain` overrides it
+    normalized = False
 
     def __init__(self, root: str):
         self.pairs: List[Tuple[str, str]] = []

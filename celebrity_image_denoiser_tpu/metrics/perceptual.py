@@ -89,30 +89,19 @@ class PerceptualDistance:
 
         torchvision names the conv stack ``features`` (state_dict keys
         ``features.<i>.weight``); our module names it ``slice`` — the prefix
-        is remapped before import.  Raises if nothing loads, so a wrong file
-        can't silently masquerade as pretrained."""
+        is remapped via ``load_pth_safely(key_map=)``.  Raises if nothing
+        loads, so a wrong file can't silently masquerade as pretrained."""
         import numpy as np
 
-        import torch
-
-        from celebrity_image_denoiser_tpu.ckpt.torch_import import (
-            import_torch_state_dict,
-        )
+        from celebrity_image_denoiser_tpu.ckpt import load_pth_safely
 
         net = VGGFeatures()
         params, state = net.init(prng.key(0))
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
-        sd = ckpt
-        if isinstance(ckpt, dict):
-            for k in ("state_dict", "features"):
-                if k in ckpt and isinstance(ckpt[k], dict):
-                    sd = ckpt[k]
-                    break
-        sd = {("slice." + k[len("features."):]
-               if isinstance(k, str) and k.startswith("features.") else k): v
-              for k, v in sd.items()}
-        new_params, new_state = import_torch_state_dict(
-            net, sd, params, state, strict=False)
+        new_params, new_state = load_pth_safely(
+            net, path, params, state,
+            key_candidates=("state_dict", "features"),
+            key_map=lambda k: ("slice." + k[len("features."):]
+                               if k.startswith("features.") else k))
         k0 = "slice", "0", "kernel"
         if np.allclose(np.asarray(new_params[k0[0]][k0[1]][k0[2]]),
                        np.asarray(params[k0[0]][k0[1]][k0[2]])):

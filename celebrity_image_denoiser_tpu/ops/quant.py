@@ -86,8 +86,13 @@ def conv_hook(x: jax.Array, kernel: jax.Array, out_axis: int,
     if mode is None:
         return None
     if isinstance(mode, _Calibrate):
+        # x's spatial extent lets quantized_fraction weight by FLOPs, not
+        # parameter count (a full-res conv carries far more FLOPs/param
+        # than a bottleneck conv)
+        spatial = int(x.shape[1]) * int(x.shape[2]) if x.ndim == 4 else 1
         mode.taps.append(
-            (jnp.max(jnp.abs(jnp.asarray(x, jnp.float32))), kernel, out_axis))
+            (jnp.max(jnp.abs(jnp.asarray(x, jnp.float32))), kernel, out_axis,
+             spatial))
         return None
     entry = mode.entries[mode.i]
     mode.i += 1
@@ -124,7 +129,7 @@ def quantize_apply(model, params, state, calib_x,
     if not calib.taps:
         raise ValueError("no convs were traced — nothing to quantize")
     entries: List[Optional[tuple]] = []
-    for amax_x, kernel, out_axis in calib.taps:
+    for amax_x, kernel, out_axis, _ in calib.taps:
         if skip(kernel):
             entries.append(None)
             continue
@@ -143,13 +148,19 @@ def quantize_apply(model, params, state, calib_x,
 
 def quantized_fraction(model, params, state, calib_x,
                        skip: Callable = default_skip_policy) -> float:
-    """Fraction of conv FLOPs the policy quantizes (observability)."""
+    """Fraction of conv FLOPs the policy quantizes (observability).
+
+    FLOPs per conv ≈ input spatial positions × kernel parameters (exact for
+    the stride-1 SAME convs these models are made of; strided convs are
+    over-counted by the stride factor, which only makes the reported
+    quantized fraction conservative since policy-skipped layers here are
+    full-resolution)."""
     calib = _Calibrate()
     with _mode(calib):
         model.apply(params, state, calib_x, train=False)
     tot = q = 0.0
-    for _, kernel, _ in calib.taps:
-        f = float(jnp.size(kernel))
+    for _, kernel, _, spatial in calib.taps:
+        f = float(jnp.size(kernel)) * spatial
         tot += f
         if not skip(kernel):
             q += f

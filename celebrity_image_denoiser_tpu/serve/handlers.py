@@ -379,12 +379,16 @@ class ServeState:
                     # max_batch, INCLUDING a non-pow2 max itself
                     # (batching._pow2_at_least) — else the first loaded
                     # burst eats one XLA compile per new size (measured:
-                    # the warm batched path is ~4.3x batch-1 at 32-way)
+                    # the warm batched path is ~4.3x batch-1 at 32-way).
+                    # With a >1-device mesh the batcher dispatches through
+                    # the ('dp', which) sharded jit, so warm THAT program
+                    # at the device-multiple padded shapes it actually
+                    # runs, not the single-device fn it never calls.
                     from celebrity_image_denoiser_tpu.serve.batching import (
                         _pow2_at_least,
                     )
 
-                    fn = self._fns[which]
+                    dispatch = self._batched_dispatch(which, p, s)
                     mb = self.batchers.max_batch
                     # exactly the occupancies MicroBatcher can dispatch —
                     # derived from its padding policy so they can't drift
@@ -392,7 +396,7 @@ class ServeState:
                                      for n in range(2, mb + 1)})
                     for b in series:
                         xb = jnp.zeros((b, hh, ww, 3), jnp.float32)
-                        np.asarray(fn(p, s, xb))
+                        np.asarray(dispatch(xb))
                 logger.info("warmed %s at %dx%d (%.1fs)", name, hh, ww,
                             time.perf_counter() - t0)
 

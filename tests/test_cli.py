@@ -380,6 +380,33 @@ def test_reference_pt_cache_reader(tmp_path):
     assert TorchTensorPairDataset(str(tmp_path / "gaussian"))[0] is None
 
 
+def test_pt_cache_domain_flag_overrides_assumption(tmp_path, caplog):
+    """The .pt reader's [0,1] torchvision assumption is not metadata — an
+    explicit --tensor-cache-domain must override it (code-review r3 #3:
+    the flag was silently dropped because normalized was False, not None)."""
+    import logging
+
+    pytest.importorskip("torch")
+    from celebrity_image_denoiser_tpu.cli.train import main as train_main
+
+    _write_pt_tree(tmp_path / "Pre_dataset", ["gaussian"], 8)
+    with caplog.at_level(logging.INFO, logger="cid_tpu.cli.train"):
+        rc = train_main([
+            "--model", "esrgan", "--tensor-cache",
+            str(tmp_path / "Pre_dataset"), "--tensor-cache-domain", "tanh",
+            "--num-epochs", "1", "--batch-size", "2",
+            "--image-size", "16", "16",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--graph-dir", str(tmp_path / "g"), "--no-data-parallel",
+        ])
+    assert rc == 0
+    assert any("overrides the cache's assumed domain" in r.getMessage()
+               for r in caplog.records)
+    # tanh-declared cache feeding a [0,1] family => remap fired
+    assert any("remapping cached pairs" in r.getMessage()
+               for r in caplog.records)
+
+
 def test_train_cli_from_reference_pt_cache(tmp_path):
     """--tensor-cache accepts a reference Pre_dataset tree directly and
     trains a step from it (VERDICT r2 missing #2 'done' criterion)."""

@@ -751,3 +751,22 @@ def test_microbatcher_dp_mesh_dispatch_bit_exact():
     assert sum(v["batches"] for v in stats.values()) < 7, stats
     # and the DP program was actually built (not the single-device fallback)
     assert ("dp", "dncnn") in st_dp._fns
+
+
+def test_warmup_with_mesh_builds_dp_batch_programs():
+    """warmup() must precompile the ('dp', model) sharded program the
+    micro-batcher actually dispatches under a mesh — warming the
+    single-device fn the batcher never calls leaves the first loaded burst
+    to pay runtime XLA compiles (code-review r3 finding #1)."""
+    import jax
+
+    from celebrity_image_denoiser_tpu.parallel import make_mesh
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    st = ServeState(weights_dir="/nonexistent-weights", seed=0,
+                    mesh=make_mesh(), microbatch_window_ms=2.0,
+                    microbatch_max=8)
+    st.warmup(sizes=((32, 32),), models=["dncnn"])
+    assert ("dp", "dncnn") in st._fns, "DP batch program not warmed"
