@@ -54,6 +54,7 @@ def main():
     ap.add_argument("--microbatch-max", type=int, default=16)
     ap.add_argument("--bucket-divisor", type=int, default=64)
     ap.add_argument("--weights-dir", default=None)
+    ap.add_argument("--quantize", default="off", choices=["off", "int8"])
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -63,7 +64,9 @@ def main():
     st = ServeState(weights_dir=args.weights_dir,
                     bucket_divisor=args.bucket_divisor,
                     microbatch_window_ms=args.microbatch_ms,
-                    microbatch_max=args.microbatch_max)
+                    microbatch_max=args.microbatch_max,
+                    quantize=None if args.quantize == "off"
+                    else args.quantize)
     t0 = time.perf_counter()
     st.warmup(sizes=[(s, s) for s in sizes], models=[args.model])
     warm_s = time.perf_counter() - t0
@@ -92,6 +95,7 @@ def main():
     all_l = [x for v in lats.values() for x in v]
     out = {
         "bench": "serve_mixed_load", "model": args.model,
+        "quantize": args.quantize,
         "sizes": sizes, "requests": args.requests,
         "concurrency": args.concurrency,
         "microbatch_ms": args.microbatch_ms,

@@ -129,7 +129,8 @@ def test_quantized_serving_quality_gate(tmp_path):
 
     st_f = ServeState(weights_dir=wd, seed=0)
     st_q = ServeState(weights_dir=wd, seed=0, quantize="int8")
-    for model_name in ("dncnn", "denoise"):
+    # dncnn + esrgan cover the [0,1] unit families, denoise the tanh path
+    for model_name in ("dncnn", "denoise", "esrgan"):
         rf = st_f.enhance(model_name, png, "image/png", include_graph=False)
         rq = st_q.enhance(model_name, png, "image/png", include_graph=False)
         yf = np.asarray(Image.open(io.BytesIO(
