@@ -120,23 +120,31 @@ def main():
                     dtype=np.float32)
     mse = float(np.mean((yb - yi) ** 2))
     agree_db = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-9))
-    if agree_db >= 40.0:
-        serve_step, note = serve_step_i8, f"int8 ({agree_db:.0f} dB vs bf16)"
-    else:  # quality regression: fall back and say so
-        serve_step, note = serve_step_bf16, f"bf16 (int8 gate FAILED {agree_db:.0f} dB)"
 
-    # warmup/compile
-    fence(serve_step(bf16_params, state, x))
+    def measure(step):
+        fence(step(bf16_params, state, x))  # warmup/compile
+        t0 = time.perf_counter()
+        cur = x
+        for _ in range(N_ITERS):
+            cur = step(bf16_params, state, cur)  # chained: no elision
+        fence(cur)
+        return N_ITERS * BATCH / (time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    cur = x
-    for _ in range(N_ITERS):
-        cur = serve_step(bf16_params, state, cur)  # chained: no elision
-    fence(cur)
-    dt = time.perf_counter() - t0
+    # measure bf16 always; measure int8 only if it passes the gate, and
+    # report whichever is faster — robust to either path regressing
+    rate_bf16 = measure(serve_step_bf16)
+    rate_i8 = measure(serve_step_i8) if agree_db >= 40.0 else 0.0
+    if rate_i8 > rate_bf16:
+        imgs_per_sec = rate_i8
+        note = f"int8 ({agree_db:.0f} dB vs bf16; bf16 {rate_bf16:.0f}/s)"
+    elif agree_db >= 40.0:
+        imgs_per_sec = rate_bf16
+        note = f"bf16 (int8 slower: {rate_i8:.0f}/s)"
+    else:
+        imgs_per_sec = rate_bf16
+        note = f"bf16 (int8 gate FAILED {agree_db:.0f} dB)"
 
     watchdog.cancel()
-    imgs_per_sec = N_ITERS * BATCH / dt
     print(json.dumps({
         "metric": "128x128_denoises_per_sec_per_chip",
         "value": round(imgs_per_sec, 1),

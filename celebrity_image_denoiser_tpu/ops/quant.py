@@ -14,12 +14,16 @@ int8 context each conv re-runs as
     x_i8 = round(clip(x / s_c))          # PER-INPUT-CHANNEL activation
                                          # scales, folded into the weight
                                          # (conv(x/s_c, w·s_c) == conv(x,w),
-                                         # SmoothQuant-style); asymmetric
-                                         # (zero-point 128) when calibration
-                                         # sees x >= 0 (ReLU)
+                                         # SmoothQuant-style)
     y_i32 = conv(x_i8, w_i8)             # MXU int8, i32 accumulation
     y = y_i32 * s_w[c_out]               # per-output-channel scales of the
                                          # folded weight
+
+(Symmetric only, by receipts: an asymmetric zero-point-128 variant for
+post-ReLU layers was built and measured — its padding-correction constant
+costs 11% throughput at the headline config while the per-channel fold
+already delivers every needed dB: esrgan 40.2 dB agreement either way,
+and the ReLU families sit at 50-62 dB without it.)
 
 with bias/activation/BN staying in the float dtype around it, so model
 definitions (and their reference-parity quirks) are untouched.  Convs the
@@ -97,36 +101,20 @@ def conv_hook(x: jax.Array, kernel: jax.Array, out_axis: int,
         # than a bottleneck conv).  amax is PER CHANNEL (channels differ by
         # orders of magnitude on deep residual trunks — a per-tensor scale
         # crushed ESRGAN to 36 dB agreement; per-channel, folded into the
-        # weights, recovers it).  min tracks whether the activation is
-        # non-negative (post-ReLU), which unlocks asymmetric quantization.
+        # weights, recovers it).
         spatial = int(x.shape[1]) * int(x.shape[2]) if x.ndim == 4 else 1
         xf = jnp.asarray(x, jnp.float32)
         amax_c = jnp.max(jnp.abs(xf), axis=tuple(range(xf.ndim - 1)))
-        mode.taps.append(
-            (amax_c, jnp.min(xf), kernel, out_axis, spatial))
+        mode.taps.append((amax_c, kernel, out_axis, spatial))
         return None
     entry = mode.entries[mode.i]
     mode.i += 1
     if entry is None:
         return None
-    w_i8, w_scale, s_c, zero_point = entry
+    w_i8, w_scale, s_c = entry
     xf = jnp.asarray(x, jnp.float32)
-    if zero_point:
-        # asymmetric uint8-style quantization for non-negative (post-ReLU)
-        # activations: twice the resolution of symmetric int8, which loses
-        # half its range to the empty negative side.  x maps to
-        # round(x/s_c) - 128 ∈ [-128, 127]; zero-padding in the shifted
-        # domain corresponds to real -128·s_c (wrong), so the constant
-        # correction conv over ones restores conv(x/s_c) exactly — ones is
-        # a trace-time constant, XLA folds the correction at compile time.
-        x_i8 = (jnp.clip(jnp.round(xf / s_c), 0.0, 255.0)
-                - 128.0).astype(jnp.int8)
-        y_i32 = run(x_i8, w_i8, jnp.int32)
-        corr = run(jnp.ones(x.shape, jnp.int8), w_i8, jnp.int32)
-        y_i32 = y_i32 + 128 * corr
-    else:
-        x_i8 = jnp.clip(jnp.round(xf / s_c), -127, 127).astype(jnp.int8)
-        y_i32 = run(x_i8, w_i8, jnp.int32)
+    x_i8 = jnp.clip(jnp.round(xf / s_c), -127, 127).astype(jnp.int8)
+    y_i32 = run(x_i8, w_i8, jnp.int32)
     # w_scale carries the folded per-input-channel activation scales, so
     # the dequant is a single per-output-channel multiply
     return (y_i32.astype(jnp.float32) * w_scale).astype(x.dtype)
@@ -156,13 +144,11 @@ def quantize_apply(model, params, state, calib_x,
     if not calib.taps:
         raise ValueError("no convs were traced — nothing to quantize")
     entries: List[Optional[tuple]] = []
-    for amax_c, amin_x, kernel, out_axis, _ in calib.taps:
+    for amax_c, kernel, out_axis, _ in calib.taps:
         if skip(kernel):
             entries.append(None)
             continue
-        nonneg = float(amin_x) >= -1e-6  # post-ReLU => asymmetric
-        s_c = (jnp.maximum(jnp.asarray(amax_c, jnp.float32), 1e-12)
-               / (255.0 if nonneg else 127.0))
+        s_c = jnp.maximum(jnp.asarray(amax_c, jnp.float32), 1e-12) / 127.0
         # fold the per-input-channel activation scales into the weight
         # before quantizing it: conv(x/s_c, w*s_c) == conv(x, w) exactly,
         # and the folded weight's per-output-channel quantization absorbs
@@ -174,7 +160,7 @@ def quantize_apply(model, params, state, calib_x,
         fold_shape[in_axis] = -1
         w_folded = jnp.asarray(kernel, jnp.float32) * s_c.reshape(fold_shape)
         w_i8, w_scale = quantize_weight(w_folded, out_axis)
-        entries.append((w_i8, w_scale, s_c, 128 if nonneg else 0))
+        entries.append((w_i8, w_scale, s_c))
 
     def qapply(x):
         ctx = _Int8Apply(list(entries))
@@ -198,7 +184,7 @@ def quantized_fraction(model, params, state, calib_x,
     with _mode(calib):
         model.apply(params, state, calib_x, train=False)
     tot = q = 0.0
-    for _, _, kernel, _, spatial in calib.taps:
+    for _, kernel, _, spatial in calib.taps:
         f = float(jnp.size(kernel)) * spatial
         tot += f
         if not skip(kernel):
