@@ -272,7 +272,9 @@ class ServeState:
         the family's serving domain ([-1,1] tanh / [0,1] unit); activation
         scales are shape-independent, so one calibration covers every
         request size.  The torch-cGAN latent path bypasses _forward and
-        stays float."""
+        stays float, as do the big-input tiled/spatially-sharded paths
+        (>tile_threshold_rows — rare requests where the float forward's
+        extra latency is dwarfed by transfer anyway)."""
         if self.quantize != "int8":
             return None
         key = ("qapply", which)

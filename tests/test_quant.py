@@ -101,6 +101,49 @@ def test_quantized_serving_all_models_respond():
             assert out.shape == (64 * scale, 64 * scale, 3), model_name
 
 
+def test_quantized_dp_mesh_serving_bit_exact():
+    """quantize="int8" composes with DP mesh micro-batch serving: the
+    sharded quantized program must be bit-exact vs the single-device
+    quantized path (per-sample independence holds for the int8 forward
+    exactly as for float)."""
+    import concurrent.futures
+
+    from PIL import Image
+
+    from celebrity_image_denoiser_tpu.parallel import make_mesh
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    st_one = ServeState(weights_dir="/nonexistent-weights", seed=7,
+                        quantize="int8", microbatch_window_ms=30.0,
+                        microbatch_max=8)
+    st_dp = ServeState(weights_dir="/nonexistent-weights", seed=7,
+                       quantize="int8", microbatch_window_ms=30.0,
+                       microbatch_max=8, mesh=make_mesh())
+    rng = np.random.default_rng(9)
+    pngs = []
+    for _ in range(5):
+        arr = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        pngs.append(buf.getvalue())
+
+    def run(st, png):
+        return st.enhance("dncnn", png, "image/png",
+                          include_graph=False)["denoised_image_base64"]
+
+    run(st_one, pngs[0])
+    run(st_dp, pngs[0])
+    with concurrent.futures.ThreadPoolExecutor(5) as ex:
+        one = list(ex.map(lambda p: run(st_one, p), pngs))
+    with concurrent.futures.ThreadPoolExecutor(5) as ex:
+        dp = list(ex.map(lambda p: run(st_dp, p), pngs))
+    assert one == dp
+    assert ("qapply", "dncnn") in st_dp._fns
+    assert ("dp", "dncnn") in st_dp._fns
+
+
 def test_quantized_serving_quality_gate(tmp_path):
     """ServeState(quantize="int8") through the full /enhance path with the
     shipped weights: output agrees with the float serving output (>=40 dB on
