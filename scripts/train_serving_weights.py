@@ -47,10 +47,13 @@ from celebrity_image_denoiser_tpu import nn  # noqa: E402
 from celebrity_image_denoiser_tpu.ckpt import checkpoint as ckpt_lib  # noqa: E402
 from celebrity_image_denoiser_tpu.core import prng  # noqa: E402
 from celebrity_image_denoiser_tpu.core.config import FAMILY_NOISE_VARIANT  # noqa: E402
+from celebrity_image_denoiser_tpu.core import compile_cache  # noqa: E402
 from celebrity_image_denoiser_tpu.data import noise as noise_lib  # noqa: E402
 from celebrity_image_denoiser_tpu.data.synthetic import synth_clean_batch  # noqa: E402
 from celebrity_image_denoiser_tpu.train import optim  # noqa: E402
 from celebrity_image_denoiser_tpu.train.gan_trainer import make_train_step  # noqa: E402
+
+compile_cache.enable()  # retrain reruns skip the ~10-min remote compiles
 
 
 def build_models(family: str, size: int):
