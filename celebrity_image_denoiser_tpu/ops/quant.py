@@ -148,7 +148,15 @@ def quantize_apply(model, params, state, calib_x,
         if skip(kernel):
             entries.append(None)
             continue
-        s_c = jnp.maximum(jnp.asarray(amax_c, jnp.float32), 1e-12) / 127.0
+        amax_c = jnp.asarray(amax_c, jnp.float32)
+        # floor each channel's scale at 1% of the busiest channel's: a
+        # channel barely excited by the (small) calibration batch would
+        # otherwise get a near-zero scale and hard-clip any real serve-time
+        # activation in it to ~0 (review r3 pass-2 finding #2).  1% of the
+        # global max costs <7 bits of that channel's resolution while
+        # bounding the saturation risk.
+        s_c = jnp.maximum(jnp.maximum(amax_c, 0.01 * jnp.max(amax_c)),
+                          1e-12) / 127.0
         # fold the per-input-channel activation scales into the weight
         # before quantizing it: conv(x/s_c, w*s_c) == conv(x, w) exactly,
         # and the folded weight's per-output-channel quantization absorbs
@@ -156,9 +164,16 @@ def quantize_apply(model, params, state, calib_x,
         # per-tensor activation scale does)
         oa = out_axis % kernel.ndim
         in_axis = 3 if oa == 2 else kernel.ndim - 2  # the other channel axis
+        if int(kernel.shape[in_axis]) != int(s_c.shape[0]):
+            # grouped conv: kernel's in-axis is C_in//groups, so the
+            # per-channel fold can't apply — drop to one scalar scale
+            # (exactly the pre-fold scheme, still correct for any groups)
+            s_c = jnp.max(s_c, keepdims=True)
         fold_shape = [1] * kernel.ndim
-        fold_shape[in_axis] = -1
-        w_folded = jnp.asarray(kernel, jnp.float32) * s_c.reshape(fold_shape)
+        fold_shape[in_axis] = -1 if int(s_c.shape[0]) > 1 else 1
+        w_folded = (jnp.asarray(kernel, jnp.float32)
+                    * (s_c.reshape(fold_shape) if int(s_c.shape[0]) > 1
+                       else s_c[0]))
         w_i8, w_scale = quantize_weight(w_folded, out_axis)
         entries.append((w_i8, w_scale, s_c))
 

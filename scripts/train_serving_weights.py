@@ -223,6 +223,11 @@ def train_family(args) -> None:
         meta={"family": family, "steps": n_chunks * args.chunk,
               "pretrain_steps": args.pretrain_steps,
               "batch": batch, "size": size, "lr": args.lr,
+              # the lr the recorded `steps` actually ran at — for srgan
+              # stage 2 this is the gentle fine-tune lr, NOT `lr` (which is
+              # the stage-1/pretrain lr); reproducing from `lr` alone gives
+              # the PSNR collapse the gentle rate exists to avoid
+              "stage_lr": float(base_lr),
               "data": "synthetic-v1 (data/synthetic.py), on-device",
               **report},
     )

@@ -61,6 +61,38 @@ def test_skip_policy_keeps_image_side_layers_float():
     assert not quant.default_skip_policy(k64)
 
 
+def test_quantized_grouped_conv_falls_back_to_scalar_scale():
+    """groups>1 convs (kernel in-axis = C_in//groups) can't take the
+    per-channel fold; they must quantize with one scalar scale instead of
+    crashing or silently mis-broadcasting (review r3 pass-2 finding #1)."""
+    from celebrity_image_denoiser_tpu import nn
+
+    class Grouped(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.add("c1", nn.Conv2d(16, 16, 3, padding=1))
+            self.add("g", nn.Conv2d(16, 16, 3, padding=1, groups=4))
+            self.add("c2", nn.Conv2d(16, 16, 3, padding=1))
+
+        def forward(self, params, state, x, *, train=False):
+            ns = {}
+            h = self.call("c1", params, state, ns, x, train=train)
+            h = self.call("g", params, state, ns, h, train=train)
+            return self.call("c2", params, state, ns, h, train=train), ns
+
+    model = Grouped()
+    params, state = model.init(prng.key(4))
+    rng = np.random.default_rng(6)
+    calib = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 16)).astype(np.float32))
+    qapply = quant.quantize_apply(model, params, state, calib,
+                                  skip=lambda k: False)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 16)).astype(np.float32))
+    yq = np.asarray(qapply(x))
+    yf = np.asarray(model.apply(params, state, x, train=False)[0])
+    mse = float(np.mean((yq - yf) ** 2))
+    assert 10 * np.log10(4.0 / max(mse, 1e-12)) > 35.0
+
+
 def test_quantized_dncnn_with_batchnorm():
     """BN (eval affine) stays float around the int8 convs; the residual
     head (C_out=3) is policy-skipped."""
