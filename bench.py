@@ -52,8 +52,8 @@ def _arm_watchdog():
             "metric": "128x128_denoises_per_sec_per_chip",
             "value": 0.0,
             "unit": "images/sec (TPU worker unresponsive — watchdog fired; "
-                    "last good compute measurement: 11579 imgs/s, see "
-                    "benchmarks/kernel_notes.md)",
+                    "last good compute measurement: 14,143-14,166 imgs/s "
+                    "int8 / 11,7xx bf16, see benchmarks/kernel_notes.md)",
             "vs_baseline": 0.0,
         }), flush=True)
         os._exit(2)
