@@ -81,11 +81,17 @@ def main():
     # int8 post-training-quantized forward (ops/quant.py; +20% measured,
     # kernel_notes.md round 3) — gated below: if it disagrees with the
     # float path by more than the serving quality gate allows, the bench
-    # falls back to the bf16 step and says so in the unit string
-    rng0 = jax.random.PRNGKey(0)
-    calib = jnp.clip(
-        jax.random.uniform(rng0, (8, 128, 128, 3), jnp.float32, -1.0, 1.0),
-        -1.0, 1.0)
+    # falls back to the bf16 step and says so in the unit string.
+    # Calibration uses the SAME recipe as serve/handlers._maybe_quantize
+    # (synthetic noisy images mapped to the tanh domain) so the benchmarked
+    # int8 program matches the served one (advisor r3 finding #4).
+    from celebrity_image_denoiser_tpu.data.synthetic import synth_clean_batch
+
+    clean01 = synth_clean_batch(jax.random.PRNGKey(0), 8, 128)
+    noisy01 = jnp.clip(
+        clean01 + 0.12 * jax.random.normal(jax.random.PRNGKey(1),
+                                           clean01.shape), 0.0, 1.0)
+    calib = noisy01 * 2.0 - 1.0  # denoise serves in [-1,1] (tanh family)
     qapply = quant.quantize_apply(model, params, state, calib)
 
     @jax.jit

@@ -79,7 +79,18 @@ def main(argv=None) -> int:
             continue
         batch = np.stack(imgs)
         for t in args.types:
-            noisy = np.asarray(noise_fns[t](next(keys), batch))
+            if args.variant == 3 and t == "poisson":
+                # exact reference semantics: the poisson scale depends on
+                # each image's unique-value count (esrgan_addNoise.py:25-28)
+                # — computable here on the host, unlike the jitted on-device
+                # path which approximates vals=256 (data.noise docstring)
+                subkeys = jax.random.split(next(keys), len(batch))
+                noisy = np.stack([
+                    np.asarray(noise.poisson_v3_exact(k, img))
+                    for k, img in zip(subkeys, batch)
+                ])
+            else:
+                noisy = np.asarray(noise_fns[t](next(keys), batch))
             if lr is not None:
                 # SRGAN layout: noisy side is downscaled to LR on device
                 noisy = np.asarray(lr_resize(noisy))

@@ -55,11 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "implies --no-on-the-fly")
     p.add_argument("--tensor-cache-domain", default=None,
                    choices=["unit", "tanh"],
-                   help="numeric domain of a --tensor-cache built WITHOUT "
-                        "meta.json: 'unit' = [0,1], 'tanh' = [-1,1]. Caches "
-                        "with meta.json ignore this; without it the domain "
-                        "is probed from sample pairs (negative values => "
-                        "tanh) and the probe result is logged")
+                   help="numeric domain of a --tensor-cache: 'unit' = [0,1], "
+                        "'tanh' = [-1,1]. For caches without meta.json the "
+                        "declaration wins (otherwise the domain is probed "
+                        "from sample pairs and the inference logged); for "
+                        "caches WITH meta.json the recorded domain is "
+                        "authoritative and a contradicting declaration is "
+                        "an error")
     p.add_argument("--noise-variant", type=int, default=None, choices=[1, 2, 3],
                    help="default: the variant the reference uses for the "
                         "model family (v1 denoise, v2 srgan/cgan, v3 esrgan)")
@@ -141,11 +143,21 @@ def main(argv=None) -> int:
         # when a pre-meta cache can't declare it
         log = get_logger("cid_tpu.cli.train")
         if args.tensor_cache_domain is not None:
-            # an explicit declaration always wins — including over the .pt
-            # reader's torchvision-[0,1] assumption (normalized=False is an
-            # assumption there, not recorded metadata)
+            # an explicit declaration wins over the .pt reader's
+            # torchvision-[0,1] ASSUMPTION (domain_recorded=False) and over
+            # a probe — but contradicting meta.json-RECORDED metadata is an
+            # error: the cache knows its own domain, and silently flipping
+            # it would train with a wrong remap (advisor r3 finding #2)
             declared = args.tensor_cache_domain == "tanh"
-            if dataset.normalized is not None \
+            recorded = bool(getattr(dataset, "domain_recorded", False))
+            if recorded and bool(dataset.normalized) != declared:
+                raise ValueError(
+                    f"--tensor-cache-domain={args.tensor_cache_domain} "
+                    f"contradicts the domain recorded in "
+                    f"{args.tensor_cache}/meta.json "
+                    f"({'tanh' if dataset.normalized else 'unit'}); drop "
+                    "the flag or rebuild the cache if its metadata is wrong")
+            if not recorded and dataset.normalized is not None \
                     and bool(dataset.normalized) != declared:
                 log.info(
                     "declared --tensor-cache-domain=%s overrides the "
@@ -155,27 +167,42 @@ def main(argv=None) -> int:
                          args.tensor_cache_domain)
             dataset.normalized = declared
         elif dataset.normalized is None:
-            # probe: a [-1,1] cache has negative values with near
-            # certainty; a genuinely non-negative cache is [0,1]
-            mins = [
-                float(min(a.min() for a in pair))
+            # probe: a [-1,1] cache has negative values with near certainty
+            # ONCE ENOUGH SAMPLES ARE SEEN — a handful of bright, mildly
+            # noisy images can be all-non-negative even in [-1,1], so spread
+            # up to 32 probes across the dataset and phrase the result as an
+            # inference, not a fact (advisor r3 finding #3)
+            n_probe = min(32, len(dataset))
+            step = max(1, len(dataset) // n_probe)
+            stats = [
+                (float(min(a.min() for a in pair)),
+                 float(max(a.max() for a in pair)))
                 for pair in (dataset[i]
-                             for i in range(min(4, len(dataset))))
+                             for i in range(0, len(dataset), step))
                 if pair is not None
             ]
-            if not mins:
+            if not stats:
                 raise ValueError(
-                    f"--tensor-cache {args.tensor_cache}: none of the first "
-                    f"{min(4, len(dataset))} pairs could be read, so its "
-                    "numeric domain can't be probed — fix the cache or pass "
+                    f"--tensor-cache {args.tensor_cache}: none of the "
+                    f"{n_probe} probed pairs could be read, so its numeric "
+                    "domain can't be probed — fix the cache or pass "
                     "--tensor-cache-domain explicitly")
-            probe_min = min(mins)
+            probe_min = min(s[0] for s in stats)
+            probe_max = max(s[1] for s in stats)
             dataset.normalized = probe_min < -1e-3
+            # evidence is ambiguous when nothing is negative but values
+            # also never approach 1.0: a dim [-1,1] cache looks identical
+            ambiguous = not dataset.normalized and probe_max < 0.75
             log.warning(
-                "--tensor-cache has no meta.json; probed sample min "
-                "%.4f => treating as %s — pass --tensor-cache-domain "
-                "or rebuild the cache to make this explicit",
-                probe_min, "[-1,1]" if dataset.normalized else "[0,1]")
+                "--tensor-cache has no meta.json; probed %d pairs "
+                "(min %.4f, max %.4f) => INFERRING domain %s%s — pass "
+                "--tensor-cache-domain or rebuild the cache to make this "
+                "explicit",
+                len(stats), probe_min, probe_max,
+                "[-1,1]" if dataset.normalized else "[0,1]",
+                ("; evidence is weak (no negatives seen but max stays well "
+                 "under 1.0), the inference may be wrong" if ambiguous
+                 else ""))
         cached_norm = bool(dataset.normalized)
         if cached_norm != (not zero_one_family):
             lo, hi = ((-1, 1) if not zero_one_family else (0, 1))

@@ -152,12 +152,18 @@ class TensorPairDataset:
         import json
 
         pair_dir = os.path.join(cache_dir, "pairs")
-        # domain metadata: None for pre-meta caches (domain unknown)
+        # domain metadata: None for pre-meta caches (domain unknown).
+        # domain_recorded distinguishes meta.json-RECORDED metadata from a
+        # reader-side assumption (TorchTensorPairDataset) — a declared
+        # --tensor-cache-domain may override an assumption, but contradicting
+        # recorded metadata is an error (advisor r3 finding #2).
         self.normalized = None
+        self.domain_recorded = False
         meta_path = os.path.join(cache_dir, "meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 self.normalized = bool(json.load(f).get("normalize", False))
+            self.domain_recorded = True
         self.files = sorted(
             os.path.join(pair_dir, f)
             for f in os.listdir(pair_dir)
@@ -197,6 +203,7 @@ class TorchTensorPairDataset:
     # ToTensor, which is [0,1]) — NOT recorded metadata; an explicit
     # `cli.train --tensor-cache-domain` overrides it
     normalized = False
+    domain_recorded = False
 
     def __init__(self, root: str):
         self.pairs: List[Tuple[str, str]] = []

@@ -21,7 +21,10 @@ to [0,1]** (NHWC or HWC) and are vmappable/jittable.
 
 jit-ability note: variant 3's poisson scaling uses the data-dependent count
 of unique values in the image; under jit this is approximated by the uint8
-bit depth (vals=256), which is exact for any 8-bit source image.
+bit depth (vals=256), which is exact for any full-range 8-bit source image.
+The offline renderer (cli.noise_gen) runs on the host where the exact
+semantics ARE computable, so it uses ``poisson_v3_exact`` (per-image
+``2^ceil(log2(#unique))``, esrgan_addNoise.py:32-34).
 """
 
 from __future__ import annotations
@@ -137,6 +140,26 @@ def speckle_v3(key, img):
 
 def poisson_v3(key, img, vals=256.0):
     return poisson_v2(key, img, vals)
+
+
+def v3_poisson_vals(img) -> float:
+    """Exact variant-3 poisson scaling base: ``2^ceil(log2(#unique))``
+    (esrgan_addNoise.py:32-34).  Host-side only — the unique count is
+    data-dependent and can't trace under jit (the jitted path fixes
+    vals=256, exact for any full-range 8-bit source image)."""
+    import numpy as np
+
+    arr = np.asarray(img)
+    n = len(np.unique(arr)) if arr.size else 1
+    return float(2.0 ** np.ceil(np.log2(max(n, 1))))
+
+
+def poisson_v3_exact(key, img):
+    """Variant-3 poisson with the reference's exact per-image scaling
+    (esrgan_addNoise.py:32-36): vals from the image's unique-value count,
+    then Pois(img·vals)/vals.  Host path (offline rendering, cli.noise_gen);
+    the on-device jitted path keeps the vals=256 approximation."""
+    return poisson_v2(key, jnp.asarray(img), v3_poisson_vals(img))
 
 
 def uniform_v3(key, img, low=-0.05, high=0.05):

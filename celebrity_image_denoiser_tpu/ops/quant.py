@@ -107,11 +107,26 @@ def conv_hook(x: jax.Array, kernel: jax.Array, out_axis: int,
         amax_c = jnp.max(jnp.abs(xf), axis=tuple(range(xf.ndim - 1)))
         mode.taps.append((amax_c, kernel, out_axis, spatial))
         return None
+    if mode.i >= len(mode.entries):
+        raise ValueError(
+            f"int8 replay over-consumed: conv call #{mode.i} but only "
+            f"{len(mode.entries)} entries were calibrated — the model's "
+            "conv call sequence changed since quantize_apply() calibrated "
+            "it (re-calibrate after any model/topology edit)")
     entry = mode.entries[mode.i]
     mode.i += 1
     if entry is None:
         return None
     w_i8, w_scale, s_c = entry
+    if tuple(w_i8.shape) != tuple(kernel.shape):
+        # Replay is positional (tape-by-call-site); a shape mismatch means
+        # the call sequence diverged from calibration and this entry belongs
+        # to a different conv.  Fail loudly instead of applying the wrong
+        # folded weights (advisor r3 finding #1).
+        raise ValueError(
+            f"int8 replay mismatch at conv call #{mode.i - 1}: calibrated "
+            f"kernel shape {tuple(w_i8.shape)} != traced kernel shape "
+            f"{tuple(kernel.shape)} — re-calibrate with quantize_apply()")
     xf = jnp.asarray(x, jnp.float32)
     x_i8 = jnp.clip(jnp.round(xf / s_c), -127, 127).astype(jnp.int8)
     y_i32 = run(x_i8, w_i8, jnp.int32)
@@ -181,6 +196,12 @@ def quantize_apply(model, params, state, calib_x,
         ctx = _Int8Apply(list(entries))
         with _mode(ctx):
             y, _ = model.apply(params, state, x, train=False)
+        if ctx.i != len(ctx.entries):
+            raise ValueError(
+                f"int8 replay under-consumed: {ctx.i} conv calls traced but "
+                f"{len(ctx.entries)} entries were calibrated — the model's "
+                "conv call sequence changed since quantize_apply() "
+                "calibrated it (re-calibrate after any model/topology edit)")
         return y
 
     return qapply

@@ -235,6 +235,30 @@ def train_family(args) -> None:
     print(f"[{family}] saved {out}  "
           f"({time.perf_counter() - t_start:.0f}s total)")
 
+    # ---- record the acceptance margin: fixture gain through the FULL
+    # serving path (serve/quality.py).  The test gates assert >=70% of this
+    # value, so every retrain refreshes its own gate floor (VERDICT r3 #3).
+    try:
+        import json
+
+        from celebrity_image_denoiser_tpu.serve import quality
+        from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+        st = ServeState(weights_dir=args.out)
+        fg = quality.fixture_gain_db(st, family)
+        meta_path = os.path.join(out, "meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["fixture_gain_db"] = round(fg, 3)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=1)
+        floor = quality.GATE_FRACTION * fg
+        print(f"[{family}] serving-fixture gain {fg:+.2f} dB recorded "
+              f"(gate floor becomes {floor:+.2f} dB)")
+    except Exception as e:
+        print(f"[{family}] WARNING: fixture-gain recording failed ({e}); "
+              "the margin gate will fall back to the previous recording")
+
 
 def evaluate(family, gen, g_params, g_state, size, n=16, seed=77):
     """PSNR of generator output vs its noisy input, on fresh synthetic data."""

@@ -294,7 +294,7 @@ def test_tensor_cache_without_meta_probes_or_declares_domain(
                          "--checkpoint-dir", str(tmp_path / "ck1"),
                          "--graph-dir", str(tmp_path / "g1")] + common)
     assert rc == 0
-    probed = [r for r in caplog.records if "probed sample min" in r.message]
+    probed = [r for r in caplog.records if "INFERRING domain" in r.message]
     assert probed, "pre-meta cache must be probed, not assumed"
     assert "[-1,1]" in probed[0].getMessage()
     # probe must NOT fire remap for a tanh cache feeding a tanh family
@@ -312,6 +312,39 @@ def test_tensor_cache_without_meta_probes_or_declares_domain(
     assert any("declared" in r.getMessage() for r in caplog.records)
     assert any("remapping cached pairs" in r.getMessage()
                for r in caplog.records)
+
+
+def test_tensor_cache_domain_contradicting_meta_is_an_error(
+        clean_tree, tmp_path):
+    """meta.json-recorded domains are authoritative: a contradicting
+    --tensor-cache-domain must fail loudly, not silently flip recorded
+    metadata (advisor r3 finding #2)."""
+    import pytest
+
+    from celebrity_image_denoiser_tpu.cli.noise_gen import main as noise_main
+    from celebrity_image_denoiser_tpu.cli.train import main as train_main
+    from celebrity_image_denoiser_tpu.data.caching import build_tensor_cache
+
+    noisy_dir = str(tmp_path / "N")
+    noise_main(["--clean-dir", clean_tree, "--out-dir", noisy_dir,
+                "--image-size", "16", "16", "--types", "gaussian",
+                "--batch", "8"])
+    cache = str(tmp_path / "cache_meta")  # meta.json records [0,1]
+    build_tensor_cache(os.path.join(noisy_dir, "gaussian"), clean_tree,
+                       cache, image_size=(16, 16))
+    common = ["--num-epochs", "1", "--batch-size", "2",
+              "--image-size", "16", "16", "--no-data-parallel"]
+    with pytest.raises(ValueError, match="contradicts the domain recorded"):
+        train_main(["--model", "denoise", "--tensor-cache", cache,
+                    "--tensor-cache-domain", "tanh",
+                    "--checkpoint-dir", str(tmp_path / "ckx"),
+                    "--graph-dir", str(tmp_path / "gx")] + common)
+    # an AGREEING declaration is fine (and a no-op)
+    rc = train_main(["--model", "denoise", "--tensor-cache", cache,
+                     "--tensor-cache-domain", "unit",
+                     "--checkpoint-dir", str(tmp_path / "cky"),
+                     "--graph-dir", str(tmp_path / "gy")] + common)
+    assert rc == 0
 
 
 def test_default_weights_dir_ignores_unrelated_cwd_weights(tmp_path,

@@ -73,6 +73,29 @@ def test_gaussian_v3_var():
     assert abs(float(jnp.std(out - IMG)) - 0.1) < 0.01
 
 
+def test_poisson_v3_exact_unique_scaling():
+    """Offline-path poisson must use the reference's exact per-image scale
+    vals = 2^ceil(log2(#unique)) (esrgan_addNoise.py:32-34), not the jitted
+    path's vals=256 approximation."""
+    # image quantized to 5 distinct levels → vals = 2^ceil(log2(5)) = 8
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 5, (32, 32, 3)).astype(np.float32) / 8.0
+    assert len(np.unique(img)) == 5
+    # parity with the reference formula, computed independently
+    ref_vals = 2.0 ** np.ceil(np.log2(len(np.unique(img))))
+    assert noise.v3_poisson_vals(img) == ref_vals == 8.0
+    out = np.asarray(noise.poisson_v3_exact(KEY, img))
+    # Pois(img*8)/8 lands on multiples of 1/8 (clip keeps that lattice) —
+    # the vals=256 approximation would produce a 1/256 lattice instead
+    assert np.allclose(out * 8.0, np.round(out * 8.0), atol=1e-6)
+    approx = np.asarray(noise.poisson_v3(KEY, jnp.asarray(img)))
+    assert not np.allclose(approx * 8.0, np.round(approx * 8.0), atol=1e-6)
+    # mean-preserving like any poisson scaling
+    assert abs(float(out.mean()) - float(img.mean())) < 0.02
+    # degenerate images: constant → vals=1, empty-safe
+    assert noise.v3_poisson_vals(np.zeros((4, 4))) == 1.0
+
+
 def test_unknown_kind_raises():
     with pytest.raises(ValueError, match="unknown noise"):
         noise.add_noise(KEY, IMG, "perlin", variant=1)

@@ -93,6 +93,57 @@ def test_quantized_grouped_conv_falls_back_to_scalar_scale():
     assert 10 * np.log10(4.0 / max(mse, 1e-12)) > 35.0
 
 
+class _MutableTopology:
+    """Model whose conv call sequence can change AFTER calibration —
+    simulates wrapping/extending/editing a model and reusing a stale
+    qapply (advisor r3 finding #1)."""
+
+    def __init__(self):
+        from celebrity_image_denoiser_tpu import nn
+
+        class M(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.add("a", nn.Conv2d(16, 16, 3, padding=1))
+                self.add("b", nn.Conv2d(16, 32, 3, padding=1))
+                self.add("b_alt", nn.Conv2d(16, 24, 3, padding=1))
+                self.mode = "wide"
+
+            def forward(self, params, state, x, *, train=False):
+                ns = {}
+                h = self.call("a", params, state, ns, x, train=train)
+                if self.mode == "short":
+                    return h, ns
+                name = "b" if self.mode == "wide" else "b_alt"
+                return self.call(name, params, state, ns, h,
+                                 train=train), ns
+
+        self.model = M()
+
+
+def test_int8_replay_topology_change_fails_loudly():
+    """Positional replay must not silently apply the wrong int8 weights:
+    a conv whose kernel shape diverges from the calibrated entry raises,
+    as does a forward that consumes fewer entries than were calibrated."""
+    wrap = _MutableTopology()
+    model = wrap.model
+    params, state = model.init(prng.key(7))
+    rng = np.random.default_rng(7)
+    calib = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 16)).astype(np.float32))
+    qapply = quant.quantize_apply(model, params, state, calib,
+                                  skip=lambda k: False)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 16, 16, 16)).astype(np.float32))
+    qapply(x)  # unchanged topology replays fine
+
+    model.mode = "alt"  # same call count, different second-conv shape
+    with pytest.raises(ValueError, match="replay mismatch"):
+        qapply(x)
+
+    model.mode = "short"  # fewer conv calls than calibrated entries
+    with pytest.raises(ValueError, match="under-consumed"):
+        qapply(x)
+
+
 def test_quantized_dncnn_with_batchnorm():
     """BN (eval affine) stays float around the int8 convs; the residual
     head (C_out=3) is policy-skipped."""
