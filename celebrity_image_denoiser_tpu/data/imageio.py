@@ -47,13 +47,18 @@ def imwrite(path: str, arr: np.ndarray) -> None:
 
 def encode_png_base64(arr: np.ndarray) -> str:
     """uint8 HWC → base64 PNG string (serving contract ``to_base64_png``,
-    reference app.py:288-292)."""
+    reference app.py:288-292).
+
+    zlib level 1: lossless either way, and at the ×4-SR output sizes the
+    default level costs 423 ms vs 139 ms per 1024² response for ~16% fewer
+    bytes (measured r4) — latency wins for an interactive API."""
     import base64
 
     from PIL import Image
 
     buf = io.BytesIO()
-    Image.fromarray(np.asarray(arr, dtype=np.uint8)).save(buf, format="PNG")
+    Image.fromarray(np.asarray(arr, dtype=np.uint8)).save(
+        buf, format="PNG", compress_level=1)
     return base64.b64encode(buf.getvalue()).decode("utf-8")
 
 

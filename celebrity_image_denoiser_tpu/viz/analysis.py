@@ -4,12 +4,26 @@ Port of ``make_graphs`` (reference app.py:302-313): a 3-panel matplotlib
 figure — noise map (input − output, shifted to [0,1]), absolute error map at
 2× gain, and a 50-bin histogram of the differences — returned as a base64
 PNG with the same layout/titles so the frontend renders identically.
+
+Perf (VERDICT r3 next #8): building a fresh Figure + artists + tight_layout
++ savefig per request cost ~300 ms of every graphs-on response.  The
+renderer now keeps a POOL of template figures (checkout/render/return under
+a lock — NOT thread-local: the stdlib server runs one thread per
+connection, so thread-local templates would rebuild ~1.4 s of matplotlib
+state on every request) with pre-built AxesImage/bar artists, updates their
+data in place, draws the Agg canvas and PNG-encodes through PIL at a low
+zlib level: ~145 ms warm at 256² (72 draw + 71 encode), same
+panels/titles/gains/bins, same response contract.  The array math stays on
+the host: the view tensors were already cropped host-side, and shipping
+them back over this container's ~25 MB/s device tunnel to "accelerate" an
+elementwise diff costs more than the diff (benchmarks/kernel_notes.md r4).
 """
 
 from __future__ import annotations
 
 import base64
 import io
+import threading
 
 import numpy as np
 
@@ -36,6 +50,14 @@ def fig_to_base64(fig) -> str:
 # diagnostic, not pixel-exact.  Histogram still uses every pixel.
 _MAX_PANEL_ROWS = 512
 
+_HIST_BINS = 50  # reference app.py:309
+
+# template pool: bounded so a burst of concurrent graph renders can't pin
+# an unbounded number of ~30 MB Agg canvases
+_POOL: list = []
+_POOL_LOCK = threading.Lock()
+_POOL_MAX = 8
+
 
 def _panel_view(img: np.ndarray) -> np.ndarray:
     h = img.shape[0]
@@ -45,26 +67,72 @@ def _panel_view(img: np.ndarray) -> np.ndarray:
     return img[::stride, ::stride]
 
 
+class _FigureTemplate:
+    """One reusable 3-panel figure: artists are created once, then only
+    their data changes per request (set_data / bar heights)."""
+
+    def __init__(self):
+        from matplotlib.backends.backend_agg import FigureCanvasAgg
+        from matplotlib.figure import Figure
+
+        self.fig = Figure(figsize=(15, 5))
+        self.canvas = FigureCanvasAgg(self.fig)
+        axs = self.fig.subplots(1, 3)
+        self.im_noise = axs[0].imshow(np.zeros((2, 2, 3), np.float32))
+        axs[0].set_title("Noise Map (Input - Output)")
+        axs[0].axis("off")
+        self.im_err = axs[1].imshow(np.zeros((2, 2, 3), np.float32))
+        axs[1].set_title("Absolute Error Map")
+        axs[1].axis("off")
+        self.hist_ax = axs[2]
+        self.bars = self.hist_ax.bar(np.arange(_HIST_BINS),
+                                     np.zeros(_HIST_BINS), width=1.0)
+        self.hist_ax.set_title("Histogram of Noise Values")
+        self.hist_ax.set_xlabel("Difference")
+        self.hist_ax.set_ylabel("Frequency")
+        self.fig.tight_layout()
+
+    def render(self, noise: np.ndarray) -> str:
+        panel = _panel_view(noise)
+        h, w = panel.shape[:2]
+        self.im_noise.set_data(np.clip(panel * 0.5 + 0.5, 0, 1))
+        self.im_noise.set_extent((-0.5, w - 0.5, h - 0.5, -0.5))
+        self.im_err.set_data(np.clip(np.abs(panel) * 2.0, 0, 1))
+        self.im_err.set_extent((-0.5, w - 0.5, h - 0.5, -0.5))
+        counts, edges = np.histogram(noise.ravel(), bins=_HIST_BINS)
+        width = edges[1] - edges[0]
+        for bar, c, e in zip(self.bars, counts, edges):
+            bar.set_height(c)
+            bar.set_x(e)
+            bar.set_width(width)
+        self.hist_ax.set_xlim(float(edges[0]), float(edges[-1]))
+        self.hist_ax.set_ylim(0.0, float(max(counts.max(), 1)) * 1.05)
+        self.canvas.draw()
+        rgba = np.asarray(self.canvas.buffer_rgba())
+        buf = io.BytesIO()
+        from PIL import Image
+
+        # zlib level 1: the figure is a transient diagnostic; encode speed
+        # beats the ~15% byte-size win of the default level
+        Image.fromarray(rgba).convert("RGB").save(buf, "PNG",
+                                                  compress_level=1)
+        return base64.b64encode(buf.getvalue()).decode("utf-8")
+
+
 def make_graphs(input_vis: np.ndarray, output_vis: np.ndarray) -> str:
     """input_vis/output_vis: float HWC in [0,1] (the cropped view tensors).
 
-    Built with the object-oriented Figure API (no pyplot): the serving
-    stack renders figures from concurrent request threads, and pyplot's
-    global current-figure registry is not thread-safe."""
-    from matplotlib.figure import Figure
-
-    noise = np.asarray(input_vis, np.float32) - np.asarray(output_vis, np.float32)
-    noise_panel = _panel_view(noise)
-    fig = Figure(figsize=(15, 5))
-    axs = fig.subplots(1, 3)
-    axs[0].imshow(np.clip(noise_panel * 0.5 + 0.5, 0, 1))
-    axs[0].set_title("Noise Map (Input - Output)")
-    axs[0].axis("off")
-    axs[1].imshow(np.clip(np.abs(noise_panel) * 2.0, 0, 1))
-    axs[1].set_title("Absolute Error Map")
-    axs[1].axis("off")
-    axs[2].hist(noise.flatten(), bins=50)
-    axs[2].set_title("Histogram of Noise Values")
-    axs[2].set_xlabel("Difference")
-    axs[2].set_ylabel("Frequency")
-    return fig_to_base64(fig)
+    Thread-safe via a checkout pool of figure templates; see module
+    docstring."""
+    noise = (np.asarray(input_vis, np.float32)
+             - np.asarray(output_vis, np.float32))
+    with _POOL_LOCK:
+        tmpl = _POOL.pop() if _POOL else None
+    if tmpl is None:
+        tmpl = _FigureTemplate()
+    try:
+        return tmpl.render(noise)
+    finally:
+        with _POOL_LOCK:
+            if len(_POOL) < _POOL_MAX:
+                _POOL.append(tmpl)

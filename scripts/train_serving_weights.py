@@ -105,7 +105,18 @@ def srgan_pretrain(gen, args):
     scratch (sr_ganTrainGNew.py:403-409), which lands below the bicubic PSNR
     baseline; the published SRGAN recipe initializes G from an MSE pretrain
     so the adversarial fine-tune starts above bicubic and stays there.
-    Returns (g_params, g_state)."""
+    Returns (g_params, g_state).
+
+    ``--pretrain-ckpt DIR``: cache — load stage-1 weights from DIR when
+    present, else train and save there.  The r4 fine-tune frontier sweep
+    (VERDICT r3 next #5) reuses ONE 120k-step pretrain across every
+    stage-2 configuration."""
+    if args.pretrain_ckpt and os.path.isdir(args.pretrain_ckpt):
+        sections, meta = ckpt_lib.load_checkpoint(args.pretrain_ckpt)
+        if "generator" in sections:
+            print(f"[srgan-pretrain] loaded cached stage-1 from "
+                  f"{args.pretrain_ckpt} ({meta.get('steps', '?')} steps)")
+            return sections["generator"], sections.get("generator_state")
     size, batch = args.size, args.batch
     adam_init, adam_update = optim.adam()
     gp, gs = gen.init(prng.key(args.seed))
@@ -144,6 +155,13 @@ def srgan_pretrain(gen, args):
         print(f"[srgan-pretrain] chunk {i + 1}/{n_chunks} "
               f"steps {(i + 1) * args.chunk}  mse {last:.5f}  "
               f"{args.chunk * batch / dt:.0f} img/s", flush=True)
+    if args.pretrain_ckpt:
+        ckpt_lib.save_checkpoint(
+            args.pretrain_ckpt,
+            {"generator": carry[0], "generator_state": carry[1]},
+            meta={"family": "srgan-stage1", "steps": n_chunks * args.chunk,
+                  "batch": batch, "size": size, "lr": args.lr})
+        print(f"[srgan-pretrain] cached stage-1 at {args.pretrain_ckpt}")
     return carry[0], carry[1]
 
 
@@ -180,6 +198,13 @@ def train_family(args) -> None:
         sr_scale=4 if family == "srgan" else 1,
     )
 
+    # EMA of G during the adversarial fine-tune (VERDICT r3 next #5): the
+    # short stage-2 walk is noisy — averaging the trajectory keeps most of
+    # the stage-1 PSNR while the raw weights chase the perceptual/adv
+    # gradient.  Both endpoints are evaluated; the better-PSNR one ships.
+    ema_decay = (args.ema if (family == "srgan" and pretrained_g is not None)
+                 else 0.0)
+
     def chunk(carry, key, lr):
         def body(c, k):
             kd, kn = jax.random.split(k)
@@ -189,7 +214,18 @@ def train_family(args) -> None:
 
         return jax.lax.scan(body, carry, jax.random.split(key, args.chunk))
 
-    chunk = jax.jit(chunk, donate_argnums=(0,))
+    def chunk_ema(carry_ema, key, lr):
+        def body(ce, k):
+            c, e = ce
+            kd, kn = jax.random.split(k)
+            clean = synth_clean_batch(kd, batch, size) * 2.0 - 1.0
+            c, m = step_fn(c, clean, clean, kn, lr, lr)
+            e = jax.tree.map(
+                lambda a, b: a * ema_decay + b * (1.0 - ema_decay), e, c[0])
+            return (c, e), m
+
+        return jax.lax.scan(body, carry_ema, jax.random.split(key, args.chunk))
+
     carry = init_fn(prng.key(args.seed))
     if pretrained_g is not None:
         # stage 2 (adversarial fine-tune) starts from the stage-1 G; the
@@ -198,6 +234,13 @@ def train_family(args) -> None:
     base_lr = args.lr
     if pretrained_g is not None:  # adversarial fine-tune: gentler steps
         base_lr = args.finetune_lr or args.lr / 4
+    ema_params = None
+    if ema_decay > 0:
+        # real copies: donated buffers must not alias the live carry
+        ema_params = jax.tree.map(jnp.copy, carry[0])
+        step = jax.jit(chunk_ema, donate_argnums=(0,))
+    else:
+        step = jax.jit(chunk, donate_argnums=(0,))
     n_chunks = max(1, args.steps // args.chunk)
     t_start = time.perf_counter()
     for i in range(n_chunks):
@@ -205,13 +248,26 @@ def train_family(args) -> None:
         frac = i / n_chunks
         lr = base_lr * (1.0 if frac < 0.6 else 0.5 if frac < 0.85 else 0.25)
         t0 = time.perf_counter()
-        carry, m = chunk(carry, prng.key(1000 + i), jnp.float32(lr))
+        if ema_decay > 0:
+            (carry, ema_params), m = step((carry, ema_params),
+                                          prng.key(1000 + i), jnp.float32(lr))
+        else:
+            carry, m = step(carry, prng.key(1000 + i), jnp.float32(lr))
         psnr = float(np.asarray(jax.device_get(m["psnr"][-1])))  # fences
         dt = time.perf_counter() - t0
         print(f"[{family}] chunk {i + 1}/{n_chunks} "
               f"steps {(i + 1) * args.chunk}  psnr {psnr:.2f}  "
               f"g {float(np.asarray(m['g_loss'][-1])):.4f}  "
               f"{args.chunk * batch / dt:.0f} img/s", flush=True)
+    ema_selected = False
+    if ema_decay > 0:
+        raw_rep = evaluate(family, gen, carry[0], carry[1], size)
+        ema_rep = evaluate(family, gen, ema_params, carry[1], size)
+        print(f"[{family}] stage-2 raw: {raw_rep}")
+        print(f"[{family}] stage-2 EMA({ema_decay}): {ema_rep}")
+        if ema_rep["gain_db"] > raw_rep["gain_db"]:
+            carry = (ema_params,) + carry[1:]
+            ema_selected = True
 
     # ---- held-out check: does the generator beat its input? ----------------
     report = evaluate(family, gen, carry[0], carry[1], size)
@@ -229,6 +285,8 @@ def train_family(args) -> None:
               # the PSNR collapse the gentle rate exists to avoid
               "stage_lr": float(base_lr),
               "data": "synthetic-v1 (data/synthetic.py), on-device",
+              **({"ema": ema_decay, "ema_selected": ema_selected}
+                 if ema_decay > 0 else {}),
               **report},
     )
     ckpt_lib.wait_for_saves()
@@ -396,6 +454,15 @@ def main(argv=None) -> int:
                          "reference's pure perceptual+adv loss)")
     ap.add_argument("--finetune-lr", type=float, default=None,
                     help="srgan stage-2 learning rate (default --lr / 4)")
+    ap.add_argument("--pretrain-ckpt", default=None,
+                    help="srgan only: cache dir for the stage-1 (SRResNet) "
+                         "weights — loaded when present, else trained and "
+                         "saved there (lets a stage-2 sweep reuse one "
+                         "pretrain)")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="srgan stage-2 only: EMA decay for an averaged copy "
+                         "of G (e.g. 0.995); raw and EMA weights are both "
+                         "evaluated and the better-PSNR one ships. 0 = off")
     ap.add_argument("--chunk", type=int, default=50,
                     help="optimizer steps per device call (lax.scan length)")
     ap.add_argument("--batch", type=int, default=32)
