@@ -83,16 +83,13 @@ def main():
     # float path by more than the serving quality gate allows, the bench
     # falls back to the bf16 step and says so in the unit string.
     # Calibration uses the SAME recipe as serve/handlers._maybe_quantize
-    # (synthetic noisy images mapped to the tanh domain) so the benchmarked
-    # int8 program matches the served one (advisor r3 finding #4).
-    from celebrity_image_denoiser_tpu.data.synthetic import synth_clean_batch
+    # (data.synthetic.calibration_batch: 24 images across 3 noise scales,
+    # tanh domain) so the benchmarked int8 program matches the served one
+    # (advisor r3 finding #4).
+    from celebrity_image_denoiser_tpu.data.synthetic import calibration_batch
 
-    clean01 = synth_clean_batch(jax.random.PRNGKey(0), 8, 128)
-    noisy01 = jnp.clip(
-        clean01 + 0.12 * jax.random.normal(jax.random.PRNGKey(1),
-                                           clean01.shape), 0.0, 1.0)
-    calib = noisy01 * 2.0 - 1.0  # denoise serves in [-1,1] (tanh family)
-    qapply = quant.quantize_apply(model, params, state, calib)
+    qapply = quant.quantize_apply(model, params, state,
+                                  calibration_batch(tanh=True))
 
     @jax.jit
     def serve_step_bf16(params, state, x_uint8):

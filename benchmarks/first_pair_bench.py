@@ -130,8 +130,8 @@ def main():
                       "ms": round(t_xla * 1e3, 2)}), flush=True)
 
     results = {"xla_pair": t_xla * 1e3}
-    for kpack, tile_h in ((True, 16), (True, 32), (False, 16)):
-        name = f"fused_kpack{int(kpack)}_t{tile_h}"
+    for kpack, tile_h in ((2, 16), (2, 32), (False, 16)):
+        name = f"fused_kpack{int(kpack)}_t{tile_h}"  # 2 = conv2-only pack
         if not probe_alive():
             print(json.dumps({"bench": "first_pair", "error":
                               f"worker wedged before {name}"}), flush=True)

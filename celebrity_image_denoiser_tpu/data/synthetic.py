@@ -88,3 +88,30 @@ def synth_clean_batch(key: jax.Array, n: int, size: int = 128,
     """[n, size, size, 3] float32 clean images in [0, 1], fully on device."""
     keys = jax.random.split(key, n)
     return jax.vmap(lambda k: _one_image(k, size, num_shapes))(keys)
+
+
+def calibration_batch(tanh: bool, size: int = 128,
+                      sigmas=(0.12,)) -> jax.Array:
+    """Int8-PTQ calibration batch: 8 synthetic noisy images per σ in the
+    family's serving domain.
+
+    Shared by serve/handlers._maybe_quantize and bench.py so the
+    benchmarked int8 program is the served one (advisor r3 finding #4).
+
+    The σ list is PER FAMILY, by receipt (r4 CPU probe): a 3-σ spread
+    (0.05/0.12/0.25) moves ESRGAN's int8-vs-float held-out gain delta from
+    −0.107 to −0.054 dB and buys it agreement margin (its gate is the
+    tightest at ~40 dB), but the same spread costs DnCNN 6 dB of agreement
+    (the σ=0.25 images inflate its residual-path ranges ~2×, one whole
+    bit of step size, 40→34 dB on the serving fixture).  Default stays the
+    single serving-typical σ; handlers passes the 3-σ list for esrgan."""
+    parts = []
+    for i, sigma in enumerate(sigmas):
+        seed = 10 * i
+        clean01 = synth_clean_batch(jax.random.PRNGKey(seed), 8, size)
+        noisy01 = jnp.clip(
+            clean01 + sigma * jax.random.normal(jax.random.PRNGKey(seed + 1),
+                                                clean01.shape), 0.0, 1.0)
+        parts.append(noisy01)
+    batch01 = jnp.concatenate(parts, axis=0)
+    return batch01 * 2.0 - 1.0 if tanh else batch01

@@ -12,7 +12,10 @@ kernel
 * optionally packs the nine shift-matmuls of each conv into ONE MXU
   contraction over K=9·C (``kpack=True``): lane-concat of the shifted
   patches against the (9·C_in, C_out) reshaped kernel — K=576 for C=64,
-  ~90% systolic utilization vs ~50% at K=64.
+  ~90% systolic utilization vs ~50% at K=64.  ``kpack=2`` packs ONLY
+  conv2: at image-side C0 (padded 3→8) Mosaic crashes compiling the
+  72-lane conv1 concat (r4 receipts), and conv1 is ~1/8 of the pair's
+  FLOPs anyway — shift-dots for conv1, one K=9·C1 contraction for conv2.
 
 Formulation rules follow conv_fused.py v2 (benchmarks/kernel_notes.md): no
 manual HBM DMA (the v1 manual-DMA kernel faults this environment's tunneled
@@ -48,8 +51,10 @@ def _kernel(xa, xb, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     xbuf[0:tile_h] = xa[0]
     xbuf[tile_h:tile_h + 4] = xb[0, tile_h - 4:tile_h]
 
+    pack1 = kpack in (True, 1)
+    pack2 = kpack in (True, 1, 2)
     # ---- conv1 + bias + ReLU -> h (hh, ww, C1), halo'd for conv2 ----------
-    if kpack:
+    if pack1:
         a = jnp.concatenate(
             [xbuf[dy:dy + hh, dx:dx + ww, :].reshape(hh * ww, c0)
              for dy in range(3) for dx in range(3)], axis=-1)
@@ -80,7 +85,7 @@ def _kernel(xa, xb, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     h_ref[:] = h.reshape(hh, ww, c1).astype(h_ref.dtype)
 
     # ---- conv2 + bias + ReLU -> out (tile_h, W, C2) ------------------------
-    if kpack:
+    if pack2:
         a = jnp.concatenate(
             [h_ref[dy:dy + tile_h, dx:dx + width, :].reshape(
                 tile_h * width, c1)
@@ -106,7 +111,7 @@ def double_conv3x3_relu(
     w2: jax.Array, b2: jax.Array,
     *,
     tile_h: int = 16,
-    kpack: bool = True,
+    kpack: int = True,  # False/0: shift-dots; True/1: pack both convs; 2: pack conv2 only
     interpret: bool = False,
 ):
     """relu(conv3x3(relu(conv3x3(x) + b1)) + b2), both 'same', one kernel.
@@ -119,6 +124,15 @@ def double_conv3x3_relu(
     assert w1.shape[2] == c0 and w2.shape[2] == c1
     if h % tile_h != 0:
         raise ValueError(f"H={h} must be divisible by tile_h={tile_h}")
+    if c0 < 8:
+        # image-side first layer (C0=3): Mosaic's lane tiling chokes on a
+        # 3-wide minor dimension (the compiled kernel crashes the compile
+        # helper); zero-pad input + the kernel's C_in rows to 8 — zeros
+        # contribute nothing, and the padded input read is still tiny next
+        # to the intermediate traffic this kernel exists to remove.
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 8 - c0)))
+        w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, 8 - c0), (0, 0)))
+        c0 = 8
     # double-halo padding: 2 rows/cols each side (1 per conv)
     xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
     xa = xp[:, 0:h, :, :]        # rows r .. r+tile_h      of each tile

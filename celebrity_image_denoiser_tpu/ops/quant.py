@@ -50,8 +50,9 @@ _MODE = contextvars.ContextVar("cid_quant_mode", default=None)
 class _Calibrate:
     """Records (max|x|, kernel, per-out-channel axis) per conv call."""
 
-    def __init__(self):
+    def __init__(self, quantile: Optional[float] = None):
         self.taps: List[tuple] = []
+        self.quantile = quantile
 
 
 class _Int8Apply:
@@ -103,8 +104,14 @@ def conv_hook(x: jax.Array, kernel: jax.Array, out_axis: int,
         # crushed ESRGAN to 36 dB agreement; per-channel, folded into the
         # weights, recovers it).
         spatial = int(x.shape[1]) * int(x.shape[2]) if x.ndim == 4 else 1
-        xf = jnp.asarray(x, jnp.float32)
-        amax_c = jnp.max(jnp.abs(xf), axis=tuple(range(xf.ndim - 1)))
+        xf = jnp.abs(jnp.asarray(x, jnp.float32))
+        flat = xf.reshape(-1, xf.shape[-1])
+        if mode.quantile is None:
+            amax_c = jnp.max(flat, axis=0)
+        else:
+            # clip rare extremes: a handful of outlier pixels otherwise set
+            # the whole channel's step size
+            amax_c = jnp.quantile(flat, mode.quantile, axis=0)
         mode.taps.append((amax_c, kernel, out_axis, spatial))
         return None
     if mode.i >= len(mode.entries):
@@ -145,15 +152,20 @@ def _mode(m):
 
 
 def quantize_apply(model, params, state, calib_x,
-                   skip: Callable = default_skip_policy):
+                   skip: Callable = default_skip_policy,
+                   act_quantile: Optional[float] = None):
     """Build an int8-quantized eval forward for ``model``.
 
     One eager forward over ``calib_x`` (a representative input batch in the
     model's serving domain) records per-conv activation ranges; weights get
     per-output-channel scales.  Returns ``qapply(x) -> y`` (jittable, eval
     mode), with the int8 weights baked in as program constants.
+
+    ``act_quantile``: per-channel activation ranges use this |x| quantile
+    instead of the max (e.g. 0.999 — clips rare extremes so outlier pixels
+    don't set a channel's step size).  None (default) = exact max.
     """
-    calib = _Calibrate()
+    calib = _Calibrate(quantile=act_quantile)
     with _mode(calib):
         model.apply(params, state, calib_x, train=False)
     if not calib.taps:

@@ -319,21 +319,19 @@ class ServeState:
             return None
         key = ("qapply", which)
         if key not in self._fns:
-            import jax as _jax
-
             from celebrity_image_denoiser_tpu.data.synthetic import (
-                synth_clean_batch,
+                calibration_batch,
             )
             from celebrity_image_denoiser_tpu.ops import quant
 
             try:
-                clean01 = synth_clean_batch(_jax.random.PRNGKey(0), 8, 128)
-                noisy01 = jnp.clip(
-                    clean01 + 0.12 * _jax.random.normal(
-                        _jax.random.PRNGKey(1), clean01.shape), 0.0, 1.0)
-                calib = noisy01 * 2.0 - 1.0 if tanh else noisy01
+                # esrgan gets the 3-σ spread (its agreement gate is the
+                # tightest); see calibration_batch's receipt note
+                sigmas = ((0.05, 0.12, 0.25)
+                          if which.startswith("esrgan") else (0.12,))
                 self._fns[key] = quant.quantize_apply(
-                    model, params, state, calib)
+                    model, params, state, calibration_batch(tanh,
+                                                            sigmas=sigmas))
                 logger.info("[%s] int8-quantized serving forward built "
                             "(ops/quant.py)", which)
             except Exception as e:

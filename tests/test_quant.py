@@ -362,3 +362,27 @@ def test_quantized_serving_quality_gate(tmp_path):
         assert agree_db > 40.0, f"{model_name}: int8 vs float {agree_db:.1f} dB"
         gain = _psnr_u8(yq.astype(np.uint8), clean) - _psnr_u8(noisy, clean)
         assert gain > 1.0, f"{model_name}: quantized gain only {gain:.2f} dB"
+
+
+def test_calibration_batch_sigma_list_and_quantile_knob():
+    """calibration_batch grows with the σ list (8 images per σ) and
+    quantize_apply(act_quantile=...) produces a working forward whose
+    scales differ from the max-|x| ones (the quantile actually applies)."""
+    from celebrity_image_denoiser_tpu.data.synthetic import calibration_batch
+
+    assert calibration_batch(True, 32).shape == (8, 32, 32, 3)
+    assert calibration_batch(False, 32,
+                             sigmas=(0.05, 0.12, 0.25)).shape == (24, 32, 32, 3)
+    model = models.DnCNN(depth=5)
+    params, state = model.init(prng.key(0))
+    calib = calibration_batch(False, 32)
+    q_max = quant.quantize_apply(model, params, state, calib)
+    q_pct = quant.quantize_apply(model, params, state, calib,
+                                 act_quantile=0.99)
+    x = calibration_batch(False, 32)[:2]
+    y_max = np.asarray(q_max(x))
+    y_pct = np.asarray(q_pct(x))
+    assert y_max.shape == y_pct.shape == (2, 32, 32, 3)
+    assert np.isfinite(y_max).all() and np.isfinite(y_pct).all()
+    # the knob must change the program (scales differ)
+    assert not np.allclose(y_max, y_pct)
