@@ -14,6 +14,9 @@ Routes (reference backend/app.py:348-503):
          [cond_file] → {"denoised_image_base64", "noise_graph_base64",
          "backend"} | {"detail"} with 400/500
     GET  /ui          → built-in web UI (frontend parity, serve/static)
+    GET  /healthz     → liveness/readiness (framework addition)
+    GET  /stats       → request counters / latency quantiles / compute-
+                        backend routing (framework addition, serve/stats.py)
 CORS is wide-open like the reference (app.py:27-30).
 """
 
@@ -76,6 +79,10 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
             parsed = urllib.parse.urlparse(self.path)
             if parsed.path == "/":
                 self._send(200, st.info())
+            elif parsed.path == "/healthz":
+                self._send(200, st.healthz())
+            elif parsed.path == "/stats":
+                self._send(200, st.stats.snapshot())
             elif parsed.path == "/ui":
                 self._send(200, _ui_html(), content_type="text/html")
             else:
@@ -157,6 +164,14 @@ def create_fastapi_app(weights_dir: Optional[str] = None,
     @app.get("/ui", response_class=HTMLResponse)
     async def ui():
         return _ui_html()
+
+    @app.get("/healthz")
+    async def healthz():
+        return st.healthz()
+
+    @app.get("/stats")
+    async def stats():
+        return st.stats.snapshot()
 
     @app.post("/enhance")
     async def enhance(model: str, file: UploadFile = File(...),

@@ -80,10 +80,20 @@ def run_enhance(st: "ServeState", *, model: str, file_bytes: bytes,
         except ValueError:
             raise EnhanceError(400, "label must be an integer")
     include_graph = str(graphs_raw).strip().lower() != "false"
-    return st.enhance(
-        model=model, file_bytes=file_bytes, content_type=content_type,
-        cgan_backend=cgan_backend, label=label, cond_bytes=cond_bytes,
-        include_graph=include_graph)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    try:
+        result = st.enhance(
+            model=model, file_bytes=file_bytes, content_type=content_type,
+            cgan_backend=cgan_backend, label=label, cond_bytes=cond_bytes,
+            include_graph=include_graph)
+    except EnhanceError as e:
+        st.stats.record_error(model, e.status)
+        raise
+    st.stats.record(model, _time.perf_counter() - t0,
+                    st.last_compute_backend())
+    return result
 
 
 def _as01(y, tanh: bool) -> np.ndarray:
@@ -161,6 +171,10 @@ class ServeState:
         self.keras_cgan = None  # (model, params, state)
         self._fns: Dict[str, callable] = {}
         self._path_note = threading.local()  # per-request backend routing
+        from celebrity_image_denoiser_tpu.serve.stats import ServeStats
+
+        self.stats = ServeStats()  # /stats + /healthz observability
+        self._weights_loaded = set()  # models serving real (non-random) weights
         self._load_weights()
 
     # -- weight loading (warn-and-continue, app.py:327-345) -----------------
@@ -174,6 +188,7 @@ class ServeState:
                     from celebrity_image_denoiser_tpu.ckpt import load_pth_safely
 
                     self.params[name] = load_pth_safely(self.models[name], path, p, s)
+                    self._weights_loaded.add(name)
                     logger.info("[%s] loaded weights from %s", name, path)
                 elif os.path.isdir(npz_dir):
                     from celebrity_image_denoiser_tpu.ckpt import load_checkpoint
@@ -181,6 +196,7 @@ class ServeState:
                     sections, _ = load_checkpoint(npz_dir)
                     self.params[name] = (sections.get("generator", p),
                                          sections.get("generator_state", s) or s)
+                    self._weights_loaded.add(name)
                     logger.info("[%s] loaded weights from %s", name, npz_dir)
                 else:
                     raise FileNotFoundError(path)
@@ -207,6 +223,7 @@ class ServeState:
 
             p, s = load_keras_model(model, keras_path, p, s)
             self.keras_cgan = (model, p, s)
+            self._weights_loaded.add("cgan")
             logger.info("Loaded Keras cGAN from %s", keras_path)
         except Exception as e:
             logger.warning("Keras cGAN not loaded (%s).", e)
@@ -454,6 +471,22 @@ class ServeState:
             "message": "Unified GAN API is running",
             "models": list(self.models.keys()),
             "default_backends": backends,
+        }
+
+    def healthz(self) -> dict:
+        """Liveness/readiness (framework addition; `GET /healthz`): device
+        identity plus which models have real (non-random) weights loaded —
+        an orchestrator's readiness probe should gate on device presence,
+        not on a first request paying an XLA compile."""
+        import jax as _jax
+
+        return {
+            "status": "ok",
+            "device": str(_jax.devices()[0]),
+            "models": list(self.models.keys()),
+            "weights_loaded": sorted(self._weights_loaded),
+            "quantize": self.quantize,
+            "uptime_s": self.stats.snapshot()["uptime_s"],
         }
 
     # -- the enhance endpoint --------------------------------------------------

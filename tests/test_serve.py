@@ -829,3 +829,33 @@ def test_warmup_with_mesh_builds_dp_batch_programs():
                     microbatch_max=8)
     st.warmup(sizes=((32, 32),), models=["dncnn"])
     assert ("dp", "dncnn") in st._fns, "DP batch program not warmed"
+
+
+def test_healthz_and_stats_routes(server):
+    """Framework-addition observability (serve/stats.py): /healthz reports
+    device + loaded weights; /stats aggregates request counts, latency
+    quantiles over a sliding window, per-request compute-backend routing,
+    and errors — none of which the reference backend exposes at all."""
+    with urllib.request.urlopen(server + "/healthz") as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    assert "models" in h and "denoise" in h["models"]
+    assert "device" in h and "weights_loaded" in h
+
+    # drive one good request and one 400 through the live server, then the
+    # stats must reflect both
+    body, ctype = _multipart({"file": ("x.png", "image/png", _png_bytes(16, 16))})
+    status, _ = _post(server + "/enhance?model=denoise", body, ctype)
+    assert status == 200
+    status, _ = _post(server + "/enhance?model=not-a-model", body, ctype)
+    assert status == 400
+    with urllib.request.urlopen(server + "/stats") as r:
+        s = json.loads(r.read())
+    assert s["requests"].get("denoise", 0) >= 1
+    assert s["latency"]["denoise"]["p50_ms"] > 0
+    assert s["latency"]["denoise"]["window"] >= 1
+    assert any(k.startswith("not-a-model:400") for k in s["errors"])
+    # backend routing aggregated (this server quantizes by ServeState
+    # default = None -> float)
+    assert sum(s["compute_backends"].values()) >= 1
+    assert s["uptime_s"] >= 0
