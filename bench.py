@@ -2,12 +2,15 @@
 
 Measures the flagship denoise U-Net serving step — uint8 → [-1,1] normalize →
 U-Net forward → [0,1] denorm → uint8 — as one jitted program on
-device-resident input batches.  Since round 3 the step runs the int8
-post-training-quantized forward (ops/quant.py; v5e int8 MXU is 2× the bf16
-rate) behind an in-run agreement gate: if int8 disagrees with the bf16 step
-by more than the serving quality bar (40 dB on u8 pixels) the bench falls
-back to bf16 and marks the unit string.  The shipped-weights quality gate
-lives in tests/test_quant.py::test_quantized_serving_quality_gate.
+device-resident input batches.  Since round 3 the step runs an int8
+post-training-quantized forward (v5e int8 MXU is 2× the bf16 rate) behind
+an in-run agreement gate; since round 4 it is the s8 *skip-storage*
+specialization (ops/quant_unet.py — skips stored s8 at the concat
+consumer's scales, 70.3→37.9 GB/step of HBM traffic), with the generic
+transform (ops/quant.py) as the next rung and bf16 last: any rung that
+disagrees with the bf16 step by more than the serving quality bar (40 dB
+on u8 pixels) is refused.  The shipped-weights quality gate lives in
+tests/test_quant.py::test_quantized_serving_quality_gate.
 
 Methodology notes (benchmarks/kernel_notes.md):
 * Iterations are **chained** (each step consumes the previous step's output)
@@ -52,8 +55,9 @@ def _arm_watchdog():
             "metric": "128x128_denoises_per_sec_per_chip",
             "value": 0.0,
             "unit": "images/sec (TPU worker unresponsive — watchdog fired; "
-                    "last good compute measurement: 14,143-14,166 imgs/s "
-                    "int8 / 11,7xx bf16, see benchmarks/kernel_notes.md)",
+                    "last good compute measurement: ~19,800 imgs/s int8 "
+                    "s8-skip / 14,1xx int8 generic / 11,7xx bf16, see "
+                    "benchmarks/kernel_notes.md)",
             "vs_baseline": 0.0,
         }), flush=True)
         os._exit(2)
@@ -87,9 +91,17 @@ def main():
     # tanh domain) so the benchmarked int8 program matches the served one
     # (advisor r3 finding #4).
     from celebrity_image_denoiser_tpu.data.synthetic import calibration_batch
+    from celebrity_image_denoiser_tpu.ops.quant_unet import (
+        quantize_apply_denoise_unet,
+    )
 
-    qapply = quant.quantize_apply(model, params, state,
-                                  calibration_batch(tanh=True))
+    # s8 skip-storage specialization (ops/quant_unet.py): skips stored s8 at
+    # the concat consumer's scales → 70.3→37.9 GB/step, 14.1k→19.8k imgs/s
+    # (kernel_notes.md round 4).  If its in-run agreement gate fails, the
+    # generic transform is the next rung, then bf16.
+    calib = calibration_batch(tanh=True)
+    qapply = quantize_apply_denoise_unet(model, params, state, calib)
+    qapply_generic = quant.quantize_apply(model, params, state, calib)
 
     @jax.jit
     def serve_step_bf16(params, state, x_uint8):
@@ -106,6 +118,13 @@ def main():
         y01 = jnp.clip(y * 0.5 + 0.5, 0.0, 1.0)
         return jnp.round(y01 * 255.0).astype(jnp.uint8)
 
+    @jax.jit
+    def serve_step_i8_generic(params, state, x_uint8):
+        x = x_uint8.astype(jnp.bfloat16) * (2.0 / 255.0) - 1.0
+        y = qapply_generic(x)
+        y01 = jnp.clip(y * 0.5 + 0.5, 0.0, 1.0)
+        return jnp.round(y01 * 255.0).astype(jnp.uint8)
+
     rng = np.random.default_rng(0)
     x = jax.device_put(
         rng.integers(0, 256, size=(BATCH, 128, 128, 3), dtype=np.uint8))
@@ -119,10 +138,19 @@ def main():
     probe = x[:8]
     yb = np.asarray(jax.device_get(serve_step_bf16(bf16_params, state, probe)),
                     dtype=np.float32)
-    yi = np.asarray(jax.device_get(serve_step_i8(bf16_params, state, probe)),
-                    dtype=np.float32)
-    mse = float(np.mean((yb - yi) ** 2))
-    agree_db = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+
+    def agreement(step):
+        yi = np.asarray(jax.device_get(step(bf16_params, state, probe)),
+                        dtype=np.float32)
+        mse = float(np.mean((yb - yi) ** 2))
+        return 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+
+    step_i8, i8_name = serve_step_i8, "int8-s8skip"
+    agree_db = agreement(step_i8)
+    if agree_db < 40.0:
+        # fall back one rung: the generic transform (still gated below)
+        step_i8, i8_name = serve_step_i8_generic, "int8-generic"
+        agree_db = agreement(step_i8)
 
     def measure(step):
         fence(step(bf16_params, state, x))  # warmup/compile
@@ -136,13 +164,13 @@ def main():
     # measure bf16 always; measure int8 only if it passes the gate, and
     # report whichever is faster — robust to either path regressing
     rate_bf16 = measure(serve_step_bf16)
-    rate_i8 = measure(serve_step_i8) if agree_db >= 40.0 else 0.0
+    rate_i8 = measure(step_i8) if agree_db >= 40.0 else 0.0
     if rate_i8 > rate_bf16:
         imgs_per_sec = rate_i8
-        note = f"int8 ({agree_db:.0f} dB vs bf16; bf16 {rate_bf16:.0f}/s)"
+        note = f"{i8_name} ({agree_db:.0f} dB vs bf16; bf16 {rate_bf16:.0f}/s)"
     elif agree_db >= 40.0:
         imgs_per_sec = rate_bf16
-        note = f"bf16 (int8 slower: {rate_i8:.0f}/s)"
+        note = f"bf16 ({i8_name} slower: {rate_i8:.0f}/s)"
     else:
         imgs_per_sec = rate_bf16
         note = f"bf16 (int8 gate FAILED {agree_db:.0f} dB)"

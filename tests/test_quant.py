@@ -52,6 +52,72 @@ def test_quantized_unet_agrees_with_float():
     assert yq.shape == yf.shape
 
 
+def test_s8_skip_forward_agrees_with_float():
+    """The s8 skip-storage specialization (ops/quant_unet.py) tracks the
+    float forward as closely as the generic transform — the scale
+    substitutions (e1@s10[64:], e2@s7[128:], pool-commutation fold) cost
+    ≤1 bit of per-channel resolution, not correctness.  Receipts:
+    kernel_notes.md round 4 (19.8k vs 14.1k imgs/s on-chip, 58.9 dB)."""
+    from celebrity_image_denoiser_tpu.ops.quant_unet import (
+        quantize_apply_denoise_unet,
+    )
+
+    model = models.DenoiseGenerator()
+    params, state = model.init(prng.key(0))
+    rng = np.random.default_rng(1)
+    calib = jnp.asarray(rng.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32))
+    qskip = quantize_apply_denoise_unet(model, params, state, calib)
+    qgen = quant.quantize_apply(model, params, state, calib)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    yf = np.asarray(model.apply(params, state, x, train=False)[0])
+    ys = np.asarray(jax.jit(qskip)(x), np.float32)
+    yg = np.asarray(jax.jit(qgen)(x), np.float32)
+    assert ys.shape == yf.shape and ys.dtype == np.float32
+
+    def db(a, b):
+        return 10 * np.log10(4.0 / max(float(np.mean((a - b) ** 2)), 1e-12))
+
+    agree_skip, agree_gen = db(ys, yf), db(yg, yf)
+    assert agree_skip > 40.0, f"s8-skip agreement only {agree_skip:.1f} dB"
+    # within a couple dB of the generic transform (same calibration data)
+    assert agree_skip > agree_gen - 3.0, (agree_skip, agree_gen)
+
+
+def test_s8_skip_forward_odd_sizes_preserve_crop_quirk():
+    """Odd spatial sizes trigger the reference's skip-crop (app.py:90-99);
+    the s8 forward crops the stored-s8 skips at trace time and matches the
+    float model's (cropped) output shape."""
+    from celebrity_image_denoiser_tpu.ops.quant_unet import (
+        quantize_apply_denoise_unet,
+    )
+
+    model = models.DenoiseGenerator()
+    params, state = model.init(prng.key(0))
+    rng = np.random.default_rng(2)
+    calib = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    qskip = quantize_apply_denoise_unet(model, params, state, calib)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 18, 18, 3)).astype(np.float32))
+    yf = np.asarray(model.apply(params, state, x, train=False)[0])
+    ys = np.asarray(jax.jit(qskip)(x), np.float32)
+    assert ys.shape == yf.shape  # (1, 16, 16, 3) after the double crop
+    mse = float(np.mean((ys - yf) ** 2))
+    assert 10 * np.log10(4.0 / max(mse, 1e-12)) > 40.0
+
+
+def test_s8_skip_builder_rejects_other_topologies():
+    """A non-U-Net conv sequence must fail loudly (callers fall back to the
+    generic transform), not silently mis-apply the skip-storage algebra."""
+    from celebrity_image_denoiser_tpu.ops.quant_unet import (
+        quantize_apply_denoise_unet,
+    )
+
+    model = models.DnCNN()
+    params, state = model.init(prng.key(0))
+    calib = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    with pytest.raises(ValueError, match="denoise U-Net"):
+        quantize_apply_denoise_unet(model, params, state, calib)
+
+
 def test_skip_policy_keeps_image_side_layers_float():
     k3 = jnp.zeros((3, 3, 3, 64))
     k64 = jnp.zeros((3, 3, 64, 64))
