@@ -320,6 +320,63 @@ def test_quantized_sharded_matches_single_device_int8():
     np.testing.assert_array_equal(y_mesh, y_one)
 
 
+def test_s8_skip_sharded_matches_single_device():
+    """GSPMD spatial sharding of the s8 skip-storage program is bit-exact
+    vs its single-device run (the s8 maxpool, s8 concats, and round/clip
+    are all elementwise/window ops that partition spatially) — denoise now
+    routes through this forward on the sharded big-input serving path."""
+    from celebrity_image_denoiser_tpu.ops.quant_unet import (
+        quantize_apply_denoise_unet,
+    )
+    from celebrity_image_denoiser_tpu.parallel import make_mesh
+    from celebrity_image_denoiser_tpu.parallel.tiling import (
+        spatial_sharded_apply,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    model = models.DenoiseGenerator()
+    params, state = model.init(prng.key(3))
+    rng = np.random.default_rng(5)
+    calib = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    qskip = quantize_apply_denoise_unet(model, params, state, calib)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 32, 3)).astype(np.float32))
+    y_one = np.asarray(jax.jit(qskip)(x))
+    sharded = spatial_sharded_apply(
+        model, make_mesh(), apply_fn=lambda p, s, t: qskip(t))
+    y_mesh = np.asarray(sharded(params, state, x))
+    np.testing.assert_array_equal(y_mesh, y_one)
+
+
+def test_s8_skip_tiled_serving_matches_full():
+    """A tall DENOISE request (the family that routes through the s8
+    skip-storage forward since round 4) through the single-device tiler
+    matches the untiled s8-skip serving output."""
+    from PIL import Image
+
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    st_tiled = ServeState(weights_dir="/nonexistent-weights", seed=11,
+                          quantize="int8", tile_threshold_rows=64)
+    st_full = ServeState(weights_dir="/nonexistent-weights", seed=11,
+                         quantize="int8")
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (96, 32, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    png = buf.getvalue()
+    r_t = st_tiled.enhance("denoise", png, "image/png", include_graph=False)
+    assert st_tiled.last_compute_backend() == "int8+tiled"
+    r_f = st_full.enhance("denoise", png, "image/png", include_graph=False)
+    assert st_full.last_compute_backend() == "int8"
+    out_t = np.asarray(Image.open(
+        io.BytesIO(base64.b64decode(r_t["denoised_image_base64"]))))
+    out_f = np.asarray(Image.open(
+        io.BytesIO(base64.b64decode(r_f["denoised_image_base64"]))))
+    assert out_t.shape == out_f.shape == (96, 32, 3)
+    assert np.abs(out_t.astype(int) - out_f.astype(int)).max() <= 1
+
+
 def test_quantized_sharded_serving_routes_int8():
     """A tall request on a >1-device mesh serves through the QUANTIZED
     GSPMD-sharded forward and logs the routing."""
