@@ -46,7 +46,8 @@ def shape_bytes(text: str) -> int:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2048)
-    ap.add_argument("--mode", choices=["int8", "bf16"], default="int8")
+    ap.add_argument("--mode", choices=["int8", "bf16", "s8skip"],
+                    default="int8")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
 
@@ -58,9 +59,17 @@ def main():
     model = models.DenoiseGenerator()
     params, state = model.init(prng.key(0))
     bf16_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    if args.mode == "int8":
-        qapply = quant.quantize_apply(model, params, state,
-                                      calibration_batch(tanh=True))
+    if args.mode in ("int8", "s8skip"):
+        if args.mode == "s8skip":
+            from celebrity_image_denoiser_tpu.ops.quant_unet import (
+                quantize_apply_denoise_unet,
+            )
+
+            qapply = quantize_apply_denoise_unet(
+                model, params, state, calibration_batch(tanh=True))
+        else:
+            qapply = quant.quantize_apply(model, params, state,
+                                          calibration_batch(tanh=True))
 
         def step(params, state, x_uint8):
             x = x_uint8.astype(jnp.bfloat16) * (2.0 / 255.0) - 1.0

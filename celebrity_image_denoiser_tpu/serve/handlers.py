@@ -347,23 +347,32 @@ class ServeState:
                 sigmas = ((0.05, 0.12, 0.25)
                           if which.startswith("esrgan") else (0.12,))
                 calib = calibration_batch(tanh, sigmas=sigmas)
+                built = None
                 if which.split(":")[0] == "denoise":
                     # s8 skip-storage specialization: 19.8k vs 14.1k imgs/s
                     # at the headline shape, 58.9 dB agreement
-                    # (benchmarks/kernel_notes.md round 4)
-                    from celebrity_image_denoiser_tpu.ops.quant_unet import (
-                        quantize_apply_denoise_unet,
-                    )
+                    # (benchmarks/kernel_notes.md round 4); on any failure
+                    # (e.g. a customized U-Net whose conv sequence diverged)
+                    # fall back to the generic transform below
+                    try:
+                        from celebrity_image_denoiser_tpu.ops.quant_unet import (  # noqa: E501
+                            quantize_apply_denoise_unet,
+                        )
 
-                    self._fns[key] = quantize_apply_denoise_unet(
-                        model, params, state, calib)
-                    logger.info("[%s] int8 s8-skip-storage serving forward "
-                                "built (ops/quant_unet.py)", which)
-                else:
-                    self._fns[key] = quant.quantize_apply(
-                        model, params, state, calib)
+                        built = quantize_apply_denoise_unet(
+                            model, params, state, calib)
+                        logger.info("[%s] int8 s8-skip-storage serving "
+                                    "forward built (ops/quant_unet.py)",
+                                    which)
+                    except Exception as e:
+                        logger.warning(
+                            "[%s] s8-skip-storage builder failed (%s); "
+                            "trying the generic int8 transform", which, e)
+                if built is None:
+                    built = quant.quantize_apply(model, params, state, calib)
                     logger.info("[%s] int8-quantized serving forward built "
                                 "(ops/quant.py)", which)
+                self._fns[key] = built
             except Exception as e:
                 # warn-and-continue like weight loading (app.py:333-336's
                 # spirit): a model that can't calibrate serves float

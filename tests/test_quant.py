@@ -377,6 +377,30 @@ def test_s8_skip_tiled_serving_matches_full():
     assert np.abs(out_t.astype(int) - out_f.astype(int)).max() <= 1
 
 
+def test_s8_skip_builder_failure_falls_back_to_generic_int8(monkeypatch):
+    """If the specialized builder rejects (e.g. a customized U-Net whose
+    conv sequence diverged from the 13-conv topology), serving falls back
+    to the GENERIC int8 transform — not all the way to float."""
+    import celebrity_image_denoiser_tpu.ops.quant_unet as quant_unet
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    def boom(*a, **k):
+        raise ValueError("not the denoise U-Net conv sequence (simulated)")
+
+    monkeypatch.setattr(quant_unet, "quantize_apply_denoise_unet", boom)
+    st = ServeState(weights_dir="/nonexistent-weights", seed=7,
+                    quantize="int8")
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(buf, format="PNG")
+    r = st.enhance("denoise", buf.getvalue(), "image/png",
+                   include_graph=False)
+    assert r["denoised_image_base64"]
+    assert st.last_compute_backend() == "int8"  # generic transform, not float
+    assert st._fns[("qapply", "denoise")] is not None
+
+
 def test_quantized_sharded_serving_routes_int8():
     """A tall request on a >1-device mesh serves through the QUANTIZED
     GSPMD-sharded forward and logs the routing."""

@@ -831,6 +831,38 @@ def test_warmup_with_mesh_builds_dp_batch_programs():
     assert ("dp", "dncnn") in st._fns, "DP batch program not warmed"
 
 
+def test_serve_stats_thread_safety():
+    """ServeStats mutates under the stdlib server's thread-per-connection
+    model; hammer it from 8 threads and assert nothing is lost or torn."""
+    import threading
+
+    from celebrity_image_denoiser_tpu.serve.stats import ServeStats
+
+    stats = ServeStats(window=64)
+    n_per_thread = 500
+
+    def worker(i):
+        for j in range(n_per_thread):
+            stats.record(f"model{i % 2}", 0.001 * (j + 1), "int8")
+            if j % 7 == 0:
+                stats.record_error(f"model{i % 2}", 400)
+            if j % 13 == 0:
+                stats.snapshot()  # concurrent reads must not tear
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    s = stats.snapshot()
+    assert s["requests"]["model0"] + s["requests"]["model1"] == 8 * n_per_thread
+    assert s["compute_backends"]["int8"] == 8 * n_per_thread
+    assert sum(s["errors"].values()) == 8 * ((n_per_thread + 6) // 7)
+    for m in ("model0", "model1"):
+        assert s["latency"][m]["window"] == 64  # bounded deque
+        assert s["latency"][m]["p50_ms"] > 0
+
+
 def test_healthz_and_stats_routes(server):
     """Framework-addition observability (serve/stats.py): /healthz reports
     device + loaded weights; /stats aggregates request counts, latency
