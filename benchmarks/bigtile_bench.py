@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--cols", type=int, default=512)
     ap.add_argument("--models", default="dncnn,denoise")
     ap.add_argument("--weights-dir", default=None)
+    ap.add_argument("--quantize", default="off", choices=["off", "int8"])
     args = ap.parse_args()
 
     from PIL import Image
@@ -38,7 +39,8 @@ def main():
     compile_cache.enable()
     from celebrity_image_denoiser_tpu.serve.handlers import ServeState
 
-    st = ServeState(weights_dir=args.weights_dir)
+    st = ServeState(weights_dir=args.weights_dir,
+                    quantize=None if args.quantize == "off" else args.quantize)
     rng = np.random.default_rng(0)
     arr = rng.integers(0, 255, (args.rows, args.cols, 3), dtype=np.uint8)
     buf = io.BytesIO()
@@ -57,6 +59,8 @@ def main():
         print(json.dumps({
             "bench": "bigtile", "model": model,
             "rows": args.rows, "cols": args.cols,
+            "quantize": args.quantize,
+            "compute": st.last_compute_backend(),
             "cold_s": round(cold, 1),
             "warm_ms": round(min(warms) * 1e3, 0),
         }), flush=True)
