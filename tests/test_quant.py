@@ -425,11 +425,13 @@ def test_quantized_sharded_serving_routes_int8():
     assert out.shape == (96, 32, 3)
 
 
-def test_quantized_dp_mesh_serving_bit_exact():
+@pytest.mark.parametrize("model_name", ["dncnn", "denoise"])
+def test_quantized_dp_mesh_serving_bit_exact(model_name):
     """quantize="int8" composes with DP mesh micro-batch serving: the
     sharded quantized program must be bit-exact vs the single-device
     quantized path (per-sample independence holds for the int8 forward
-    exactly as for float)."""
+    exactly as for float).  ``denoise`` exercises the s8 skip-storage
+    forward (ops/quant_unet.py) under the DP batch sharding."""
     import concurrent.futures
 
     from PIL import Image
@@ -454,7 +456,7 @@ def test_quantized_dp_mesh_serving_bit_exact():
         pngs.append(buf.getvalue())
 
     def run(st, png):
-        return st.enhance("dncnn", png, "image/png",
+        return st.enhance(model_name, png, "image/png",
                           include_graph=False)["denoised_image_base64"]
 
     run(st_one, pngs[0])
@@ -464,8 +466,8 @@ def test_quantized_dp_mesh_serving_bit_exact():
     with concurrent.futures.ThreadPoolExecutor(5) as ex:
         dp = list(ex.map(lambda p: run(st_dp, p), pngs))
     assert one == dp
-    assert ("qapply", "dncnn") in st_dp._fns
-    assert ("dp", "dncnn") in st_dp._fns
+    assert ("qapply", model_name) in st_dp._fns
+    assert ("dp", model_name) in st_dp._fns
 
 
 def test_quantized_serving_quality_gate(tmp_path):
