@@ -22,6 +22,7 @@ from __future__ import annotations
 import io
 import os
 import threading
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -80,9 +81,7 @@ def run_enhance(st: "ServeState", *, model: str, file_bytes: bytes,
         except ValueError:
             raise EnhanceError(400, "label must be an integer")
     include_graph = str(graphs_raw).strip().lower() != "false"
-    import time as _time
-
-    t0 = _time.perf_counter()
+    t0 = time.perf_counter()
     try:
         result = st.enhance(
             model=model, file_bytes=file_bytes, content_type=content_type,
@@ -91,7 +90,7 @@ def run_enhance(st: "ServeState", *, model: str, file_bytes: bytes,
     except EnhanceError as e:
         st.stats.record_error(model, e.status)
         raise
-    st.stats.record(model, _time.perf_counter() - t0,
+    st.stats.record(model, time.perf_counter() - t0,
                     st.last_compute_backend())
     return result
 
@@ -425,8 +424,6 @@ class ServeState:
         its padded shape.  ``models``: restrict to these families (warming
         all five × every size × the micro-batch size series is 5×|sizes|×5
         compiles — a load test for one model shouldn't pay for the rest)."""
-        import time
-
         for h, w in sizes:
             for name, model in self.models.items():
                 if models is not None and name not in models:
@@ -526,8 +523,6 @@ class ServeState:
         skips the matplotlib analysis figure — it dominates warm latency
         (~0.4 s of the ~0.6 s total at 256²; device compute is ~1 ms).  The
         response keeps the contract keys with an empty graph string."""
-        import time
-
         from PIL import Image
 
         t_start = time.perf_counter()
