@@ -138,10 +138,11 @@ class ServeState:
         reference's strictly batch-1 forwards.
 
         ``quantize="int8"``: post-training-quantized forwards (per-channel
-        int8 weights + calibrated activation scales, ops/quant.py) — ~1.2×
-        serving throughput on v5e at ~50 dB agreement with the float path
-        (kernel_notes.md round 3); gated by
-        test_quantized_serving_quality_gate."""
+        int8 weights + calibrated activation scales, ops/quant.py; the
+        denoise family runs the s8 skip-storage specialization,
+        ops/quant_unet.py) — 1.2–1.7× serving throughput on v5e at 50–59 dB
+        agreement with the float path (kernel_notes.md rounds 3–4); gated
+        by test_quantized_serving_quality_gate."""
         if quantize not in (None, "int8"):
             raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
         self.quantize = quantize
