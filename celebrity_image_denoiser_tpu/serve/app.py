@@ -17,6 +17,8 @@ Routes (reference backend/app.py:348-503):
     GET  /healthz     → liveness/readiness (framework addition)
     GET  /stats       → request counters / latency quantiles / compute-
                         backend routing (framework addition, serve/stats.py)
+    GET  /metrics     → the same aggregates in Prometheus text exposition
+                        format (framework addition)
 CORS is wide-open like the reference (app.py:27-30).
 """
 
@@ -83,6 +85,9 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
                 self._send(200, st.healthz())
             elif parsed.path == "/stats":
                 self._send(200, st.stats.snapshot())
+            elif parsed.path == "/metrics":
+                self._send(200, st.stats.prometheus(),
+                           content_type="text/plain; version=0.0.4")
             elif parsed.path == "/ui":
                 self._send(200, _ui_html(), content_type="text/html")
             else:
@@ -172,6 +177,13 @@ def create_fastapi_app(weights_dir: Optional[str] = None,
     @app.get("/stats")
     async def stats():
         return st.stats.snapshot()
+
+    @app.get("/metrics")
+    async def metrics():
+        from fastapi.responses import PlainTextResponse
+
+        return PlainTextResponse(st.stats.prometheus(),
+                                 media_type="text/plain; version=0.0.4")
 
     @app.post("/enhance")
     async def enhance(model: str, file: UploadFile = File(...),

@@ -52,6 +52,46 @@ class ServeStats:
         i = min(len(sorted_vals) - 1, int(q * len(sorted_vals)))
         return sorted_vals[i]
 
+    def prometheus(self) -> str:
+        """Prometheus text exposition format (`GET /metrics`) — the same
+        aggregates as ``snapshot()`` in the shape a standard scraper
+        ingests; quantiles are over the sliding window, labeled per model,
+        backends/errors as labeled counters."""
+        s = self.snapshot()
+        lines = [
+            "# HELP cid_uptime_seconds Process uptime.",
+            "# TYPE cid_uptime_seconds gauge",
+            f"cid_uptime_seconds {s['uptime_s']}",
+            "# HELP cid_requests_total Successful /enhance requests.",
+            "# TYPE cid_requests_total counter",
+        ]
+        for model, n in sorted(s["requests"].items()):
+            lines.append(f'cid_requests_total{{model="{model}"}} {n}')
+        lines += ["# HELP cid_errors_total Failed /enhance requests.",
+                  "# TYPE cid_errors_total counter"]
+        for key, n in sorted(s["errors"].items()):
+            model, _, status = key.rpartition(":")
+            lines.append(
+                f'cid_errors_total{{model="{model}",status="{status}"}} {n}')
+        lines += ["# HELP cid_request_latency_seconds Sliding-window "
+                  "/enhance latency quantiles.",
+                  "# TYPE cid_request_latency_seconds summary"]
+        for model, lat in sorted(s["latency"].items()):
+            for q, k in (("0.5", "p50_ms"), ("0.95", "p95_ms")):
+                lines.append(
+                    f'cid_request_latency_seconds{{model="{model}",'
+                    f'quantile="{q}"}} {lat[k] / 1e3}')
+            lines.append(
+                f'cid_request_latency_window{{model="{model}"}} '
+                f'{lat["window"]}')
+        lines += ["# HELP cid_compute_backend_total Requests per compute "
+                  "routing (int8/float x plain/tiled/sharded).",
+                  "# TYPE cid_compute_backend_total counter"]
+        for backend, n in sorted(s["compute_backends"].items()):
+            lines.append(
+                f'cid_compute_backend_total{{backend="{backend}"}} {n}')
+        return "\n".join(lines) + "\n"
+
     def snapshot(self) -> dict:
         with self._lock:
             lat = {}

@@ -891,3 +891,12 @@ def test_healthz_and_stats_routes(server):
     # default = None -> float)
     assert sum(s["compute_backends"].values()) >= 1
     assert s["uptime_s"] >= 0
+
+    # Prometheus exposition of the same aggregates
+    with urllib.request.urlopen(server + "/metrics") as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert 'cid_requests_total{model="denoise"}' in text
+    assert 'cid_errors_total{model="not-a-model",status="400"}' in text
+    assert 'cid_request_latency_seconds{model="denoise",quantile="0.5"}' in text
+    assert "# TYPE cid_compute_backend_total counter" in text
