@@ -347,6 +347,29 @@ class ServeState:
                 sigmas = ((0.05, 0.12, 0.25)
                           if which.startswith("esrgan") else (0.12,))
                 calib = calibration_batch(tanh, sigmas=sigmas)
+
+                def agreement_db(apply_q) -> float:
+                    # runtime agreement gate: the shipped-weight gates live
+                    # in tests, but a user pointing --weights-dir at their
+                    # OWN checkpoint gets int8 by default — so every built
+                    # quantized forward is probed against the float forward
+                    # on the calibration batch before it is allowed to
+                    # serve (same 40 dB bar as the test gates).  A 2×32²
+                    # crop keeps the two eager probe forwards cheap — the
+                    # gate exists to catch catastrophic mis-quantization
+                    # (wrong-domain weights, broken scales), which shows at
+                    # any probe size
+                    probe = calib[:2, :32, :32, :]
+                    yf = jnp.asarray(
+                        model.apply(params, state, probe, train=False)[0],
+                        jnp.float32)
+                    yq = jnp.asarray(apply_q(probe), jnp.float32)
+                    rng = 2.0 if tanh else 1.0
+                    mse = float(jnp.mean((yq - yf) ** 2))
+                    import math
+
+                    return 10.0 * math.log10(rng ** 2 / max(mse, 1e-12))
+
                 built = None
                 if which.split(":")[0] == "denoise":
                     # s8 skip-storage specialization: 19.8k vs 14.1k imgs/s
@@ -361,17 +384,33 @@ class ServeState:
 
                         built = quantize_apply_denoise_unet(
                             model, params, state, calib)
-                        logger.info("[%s] int8 s8-skip-storage serving "
-                                    "forward built (ops/quant_unet.py)",
-                                    which)
+                        db = agreement_db(built)
+                        if db < 40.0:
+                            logger.warning(
+                                "[%s] s8-skip-storage forward FAILED the "
+                                "runtime agreement gate (%.1f dB < 40); "
+                                "trying the generic int8 transform",
+                                which, db)
+                            built = None
+                        else:
+                            logger.info(
+                                "[%s] int8 s8-skip-storage serving forward "
+                                "built (ops/quant_unet.py), %.1f dB vs "
+                                "float", which, db)
                     except Exception as e:
                         logger.warning(
                             "[%s] s8-skip-storage builder failed (%s); "
                             "trying the generic int8 transform", which, e)
                 if built is None:
                     built = quant.quantize_apply(model, params, state, calib)
+                    db = agreement_db(built)
+                    if db < 40.0:
+                        raise ValueError(
+                            f"int8 forward failed the runtime agreement "
+                            f"gate ({db:.1f} dB < 40) on these weights")
                     logger.info("[%s] int8-quantized serving forward built "
-                                "(ops/quant.py)", which)
+                                "(ops/quant.py), %.1f dB vs float",
+                                which, db)
                 self._fns[key] = built
             except Exception as e:
                 # warn-and-continue like weight loading (app.py:333-336's

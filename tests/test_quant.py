@@ -401,6 +401,36 @@ def test_s8_skip_builder_failure_falls_back_to_generic_int8(monkeypatch):
     assert st._fns[("qapply", "denoise")] is not None
 
 
+def test_runtime_agreement_gate_falls_back_to_float(monkeypatch):
+    """The shipped-weight gates live in tests; a user serving their OWN
+    checkpoint gets int8 by default, so every built quantized forward is
+    probed against the float forward at build time.  A forward that fails
+    the 40 dB bar (simulated: returns zeros) must NOT serve — the model
+    drops to float, warn-and-continue style."""
+    import celebrity_image_denoiser_tpu.ops.quant as quant_mod
+    import celebrity_image_denoiser_tpu.ops.quant_unet as quant_unet
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    def broken_builder(model, params, state, calib, **kw):
+        return lambda x: jnp.zeros(x.shape, x.dtype)
+
+    monkeypatch.setattr(quant_unet, "quantize_apply_denoise_unet",
+                        broken_builder)
+    monkeypatch.setattr(quant_mod, "quantize_apply", broken_builder)
+    st = ServeState(weights_dir="/nonexistent-weights", seed=7,
+                    quantize="int8")
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((32, 32, 3), 200, np.uint8)).save(buf,
+                                                              format="PNG")
+    r = st.enhance("denoise", buf.getvalue(), "image/png",
+                   include_graph=False)
+    assert r["denoised_image_base64"]
+    assert st.last_compute_backend() == "float"
+    assert st._fns[("qapply", "denoise")] is None
+
+
 def test_quantized_sharded_serving_routes_int8():
     """A tall request on a >1-device mesh serves through the QUANTIZED
     GSPMD-sharded forward and logs the routing."""
