@@ -87,9 +87,10 @@ def main():
     # float path by more than the serving quality gate allows, the bench
     # falls back to the bf16 step and says so in the unit string.
     # Calibration uses the SAME recipe as serve/handlers._maybe_quantize
-    # (data.synthetic.calibration_batch: 24 images across 3 noise scales,
-    # tanh domain) so the benchmarked int8 program matches the served one
-    # (advisor r3 finding #4).
+    # (data.synthetic.calibration_batch: 8 synthetic noisy images at the
+    # serving-typical σ, tanh domain — the exact recipe handlers passes for
+    # the denoise family; only esrgan gets the 3-σ spread) so the
+    # benchmarked int8 program matches the served one (advisor r3 #4).
     from celebrity_image_denoiser_tpu.data.synthetic import calibration_batch
     from celebrity_image_denoiser_tpu.ops.quant_unet import (
         quantize_apply_denoise_unet,
@@ -97,11 +98,19 @@ def main():
 
     # s8 skip-storage specialization (ops/quant_unet.py): skips stored s8 at
     # the concat consumer's scales → 70.3→37.9 GB/step, 14.1k→19.8k imgs/s
-    # (kernel_notes.md round 4).  If its in-run agreement gate fails, the
-    # generic transform is the next rung, then bf16.
+    # (kernel_notes.md round 4).  If its in-run agreement gate fails — or a
+    # builder raises (e.g. a model topology edit trips the 12-conv check) —
+    # the generic transform is the next rung, then bf16; a rung failure must
+    # never crash the bench before its one-JSON-line contract.
     calib = calibration_batch(tanh=True)
-    qapply = quantize_apply_denoise_unet(model, params, state, calib)
-    qapply_generic = quant.quantize_apply(model, params, state, calib)
+    try:
+        qapply = quantize_apply_denoise_unet(model, params, state, calib)
+    except Exception:
+        qapply = None
+    try:
+        qapply_generic = quant.quantize_apply(model, params, state, calib)
+    except Exception:
+        qapply_generic = None
 
     @jax.jit
     def serve_step_bf16(params, state, x_uint8):
@@ -145,12 +154,20 @@ def main():
         mse = float(np.mean((yb - yi) ** 2))
         return 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-9))
 
-    step_i8, i8_name = serve_step_i8, "int8-s8skip"
-    agree_db = agreement(step_i8)
-    if agree_db < 40.0:
+    def try_agreement(step):
+        try:
+            return agreement(step)
+        except Exception:
+            return -1.0  # a rung that can't even run fails its gate
+
+    step_i8, i8_name, agree_db = None, "int8-unavailable", -1.0
+    if qapply is not None:
+        step_i8, i8_name = serve_step_i8, "int8-s8skip"
+        agree_db = try_agreement(step_i8)
+    if agree_db < 40.0 and qapply_generic is not None:
         # fall back one rung: the generic transform (still gated below)
         step_i8, i8_name = serve_step_i8_generic, "int8-generic"
-        agree_db = agreement(step_i8)
+        agree_db = try_agreement(step_i8)
 
     def measure(step):
         fence(step(bf16_params, state, x))  # warmup/compile

@@ -82,11 +82,15 @@ def _maxpool_s8(x):
                              (1, 2, 2, 1), "VALID")
 
 
-def quantize_apply_denoise_unet(model, params, state, calib_x):
+def quantize_apply_denoise_unet(model, params, state, calib_x,
+                                quant_last: bool = True):
     """Build the s8 skip-storage int8 eval forward for a DenoiseGenerator.
 
+    ``quant_last=False`` keeps the 64→3 tail conv on the float path (the
+    ablation benchmarks/s8_skip_probe.py measures: 19,382 vs 19,798 imgs/s).
+
     Raises ``ValueError`` if the traced conv sequence doesn't match the
-    13-conv U-Net topology (callers fall back to the generic transform —
+    12-conv U-Net topology (callers fall back to the generic transform —
     serve/handlers._maybe_quantize's warn-and-continue)."""
     tap = quant._Calibrate()
     with quant._mode(tap):
@@ -124,9 +128,11 @@ def quantize_apply_denoise_unet(model, params, state, calib_x):
         w_folded = jnp.asarray(kernel, jnp.float32) * sc.reshape(fold_shape)
         return quant.quantize_weight(w_folded, out_axis)
 
-    W = {i: fold(i) for i in (1, 2, 3, 4, 5, 7, 8, 10, 11)}
+    W = {i: fold(i) for i in (1, 2, 3, 4, 5, 7, 8, 10)}
     W[6] = fold(6, out_axis=2)
     W[9] = fold(9, out_axis=2)
+    if quant_last:
+        W[11] = fold(11)
 
     p = params
     b = {i: jnp.asarray(v, jnp.bfloat16) for i, v in {
@@ -138,6 +144,7 @@ def quantize_apply_denoise_unet(model, params, state, calib_x):
         10: p["upconv1"]["0"]["bias"], 11: p["upconv1"]["2"]["bias"],
     }.items()}
     W0 = jnp.asarray(p["down1"]["0"]["kernel"], jnp.bfloat16)
+    W11 = jnp.asarray(p["upconv1"]["2"]["kernel"], jnp.bfloat16)
     relu = jax.nn.relu
 
     def qapply(x):
@@ -159,7 +166,10 @@ def quantize_apply_denoise_unet(model, params, state, calib_x):
         if d1a.shape[1:3] != e1.shape[1:3]:              # skip-crop quirk
             e1 = e1[:, : d1a.shape[1], : d1a.shape[2], :]
         h = relu(_conv_q(jnp.concatenate([d1a, e1], -1), *W[10], b[10]))
-        y = _conv_q(_q(h, s[11]), *W[11], b[11])
+        if quant_last:
+            y = _conv_q(_q(h, s[11]), *W[11], b[11])
+        else:
+            y = _conv_f(h, W11, b[11])
         return jnp.tanh(y).astype(in_dtype)
 
     return qapply

@@ -98,9 +98,9 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
             if parsed.path != "/enhance":
                 self._send(404, {"detail": "Not Found"})
                 return
+            qs = urllib.parse.parse_qs(parsed.query)
+            model = (qs.get("model", [""])[0] or "").strip()
             try:
-                qs = urllib.parse.parse_qs(parsed.query)
-                model = (qs.get("model", [""])[0] or "").strip()
                 length = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(length)
                 ctype = self.headers.get("Content-Type", "")
@@ -124,8 +124,15 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
                 )
                 self._send(200, result)
             except EnhanceError as e:
+                # errors raised before run_enhance (bad multipart, missing
+                # file) haven't been counted yet — run_enhance marks the
+                # ones it already recorded
+                if not getattr(e, "_stats_recorded", False):
+                    st.stats.record_error(model, e.status)
                 self._send(e.status, {"detail": e.detail})
             except Exception as e:
+                if not getattr(e, "_stats_recorded", False):
+                    st.stats.record_error(model, 500)
                 logger.error("Enhancement failed: %s", e, exc_info=True)
                 self._send(500, {"detail": "Image enhancement failed"})
 

@@ -72,23 +72,31 @@ def run_enhance(st: "ServeState", *, model: str, file_bytes: bytes,
     """Shared request semantics for every server front end (stdlib +
     FastAPI) — label parsing (400, not framework-specific 422) and the
     ``graphs=false`` figure opt-out behave identically on both."""
-    label = None
-    if label_raw is not None:
-        # an empty/garbage label field is a 400, same as the stdlib server
-        # always returned — absence is only the field not being sent
-        try:
-            label = int(str(label_raw).strip())
-        except ValueError:
-            raise EnhanceError(400, "label must be an integer")
-    include_graph = str(graphs_raw).strip().lower() != "false"
     t0 = time.perf_counter()
     try:
+        label = None
+        if label_raw is not None:
+            # an empty/garbage label field is a 400, same as the stdlib
+            # server always returned — absence is only the field not sent
+            try:
+                label = int(str(label_raw).strip())
+            except ValueError:
+                raise EnhanceError(400, "label must be an integer")
+        include_graph = str(graphs_raw).strip().lower() != "false"
         result = st.enhance(
             model=model, file_bytes=file_bytes, content_type=content_type,
             cgan_backend=cgan_backend, label=label, cond_bytes=cond_bytes,
             include_graph=include_graph)
-    except EnhanceError as e:
-        st.stats.record_error(model, e.status)
+    except Exception as e:
+        # every failure is counted exactly once: server front ends check
+        # _stats_recorded before counting errors raised OUTSIDE this shared
+        # path (bad multipart, missing file)
+        status = e.status if isinstance(e, EnhanceError) else 500
+        st.stats.record_error(model, status)
+        try:
+            e._stats_recorded = True
+        except Exception:
+            pass
         raise
     st.stats.record(model, time.perf_counter() - t0,
                     st.last_compute_backend())

@@ -108,8 +108,10 @@ def recorded_gate_floor(weights_dir: str, model: str,
     try:
         with open(meta_path) as f:
             recorded: Optional[float] = json.load(f).get("fixture_gain_db")
-    except OSError:
+    except (OSError, ValueError, TypeError):
+        # a malformed/truncated meta.json (e.g. a retrain interrupted mid
+        # rewrite) gates against the default floor instead of crashing
         recorded = None
-    if recorded is None:
+    if not isinstance(recorded, (int, float)):
         return default
     return max(default, GATE_FRACTION * float(recorded))

@@ -21,7 +21,22 @@ import time
 from typing import Dict
 
 
+def _safe_key(model) -> str:
+    """Bound and sanitize an attacker-controlled model string before it
+    becomes a counter key / metric label: truncate, strip everything
+    outside a conservative charset (kills Prometheus label injection via
+    quotes/newlines/backslashes), and map empty to 'unknown'."""
+    cleaned = "".join(c for c in str(model)[:40]
+                      if c.isalnum() or c in "._:-")
+    return cleaned or "unknown"
+
+
 class ServeStats:
+    # distinct error keys are capped: unknown ?model= strings are attacker-
+    # controlled, and an unbounded dict on a long-lived server is a slow
+    # memory leak.  Overflow lands in one 'other' bucket.
+    MAX_ERROR_KEYS = 64
+
     def __init__(self, window: int = 512):
         self._lock = threading.Lock()
         self._t0 = time.time()
@@ -32,9 +47,10 @@ class ServeStats:
         self._backends: Dict[str, int] = collections.defaultdict(int)
 
     def record(self, model: str, latency_s: float, backend: str) -> None:
+        model = _safe_key(model)
         with self._lock:
             self._requests[model] += 1
-            self._backends[backend] += 1
+            self._backends[_safe_key(backend)] += 1
             dq = self._latency.get(model)
             if dq is None:
                 dq = self._latency[model] = collections.deque(
@@ -42,8 +58,12 @@ class ServeStats:
             dq.append(latency_s)
 
     def record_error(self, model: str, status: int) -> None:
+        key = f"{_safe_key(model)}:{int(status)}"
         with self._lock:
-            self._errors[f"{model or 'unknown'}:{status}"] += 1
+            if key not in self._errors and len(self._errors) >= \
+                    self.MAX_ERROR_KEYS:
+                key = f"other:{int(status)}"
+            self._errors[key] += 1
 
     @staticmethod
     def _quantile(sorted_vals, q: float) -> float:
@@ -81,6 +101,13 @@ class ServeStats:
                 lines.append(
                     f'cid_request_latency_seconds{{model="{model}",'
                     f'quantile="{q}"}} {lat[k] / 1e3}')
+        # window sizes as their OWN uninterrupted group (interleaving them
+        # inside the summary group violates the exposition format — strict
+        # parsers like promtool reject it)
+        lines += ["# HELP cid_request_latency_window Samples currently in "
+                  "each model's sliding latency window.",
+                  "# TYPE cid_request_latency_window gauge"]
+        for model, lat in sorted(s["latency"].items()):
             lines.append(
                 f'cid_request_latency_window{{model="{model}"}} '
                 f'{lat["window"]}')

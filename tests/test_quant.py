@@ -379,7 +379,7 @@ def test_s8_skip_tiled_serving_matches_full():
 
 def test_s8_skip_builder_failure_falls_back_to_generic_int8(monkeypatch):
     """If the specialized builder rejects (e.g. a customized U-Net whose
-    conv sequence diverged from the 13-conv topology), serving falls back
+    conv sequence diverged from the 12-conv topology), serving falls back
     to the GENERIC int8 transform — not all the way to float."""
     import celebrity_image_denoiser_tpu.ops.quant_unet as quant_unet
     from celebrity_image_denoiser_tpu.serve.handlers import ServeState
