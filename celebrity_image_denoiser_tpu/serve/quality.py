@@ -108,9 +108,10 @@ def recorded_gate_floor(weights_dir: str, model: str,
     try:
         with open(meta_path) as f:
             recorded: Optional[float] = json.load(f).get("fixture_gain_db")
-    except (OSError, ValueError, TypeError):
+    except (OSError, ValueError, TypeError, AttributeError):
         # a malformed/truncated meta.json (e.g. a retrain interrupted mid
-        # rewrite) gates against the default floor instead of crashing
+        # rewrite, or a non-object document) gates against the default
+        # floor instead of crashing
         recorded = None
     if not isinstance(recorded, (int, float)):
         return default

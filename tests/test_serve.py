@@ -900,3 +900,74 @@ def test_healthz_and_stats_routes(server):
     assert 'cid_errors_total{model="not-a-model",status="400"}' in text
     assert 'cid_request_latency_seconds{model="denoise",quantile="0.5"}' in text
     assert "# TYPE cid_compute_backend_total counter" in text
+
+
+def test_stats_sanitizes_keys_and_caps_error_cardinality():
+    """?model= is attacker-controlled and lands in counter keys and
+    Prometheus label values: injection characters must be stripped, long
+    strings truncated, and distinct error keys bounded (unbounded dicts on
+    a long-lived server are a slow memory leak)."""
+    from celebrity_image_denoiser_tpu.serve.stats import ServeStats
+
+    stats = ServeStats(window=8)
+    stats.record('evil"}\ncid_requests_total{model="x', 0.01, "int8\\")
+    s = stats.snapshot()
+    # quotes/newlines/braces/backslashes stripped from both label values
+    (model_key,) = s["requests"].keys()
+    (backend_key,) = s["compute_backends"].keys()
+    for k in (model_key, backend_key):
+        assert not set(k) & set('"\n{}\\= '), k
+    stats.record_error("x" * 500, 400)
+    long_keys = [k for k in stats.snapshot()["errors"] if k.startswith("x")]
+    assert long_keys and len(long_keys[0]) <= 44  # 40-char model cap + :400
+
+    # cardinality cap: unknown model strings overflow into other:<status>
+    for i in range(ServeStats.MAX_ERROR_KEYS + 50):
+        stats.record_error(f"m{i}", 400)
+    errs = stats.snapshot()["errors"]
+    assert len(errs) <= ServeStats.MAX_ERROR_KEYS + 1
+    assert errs["other:400"] >= 50 - 1
+    # known keys keep counting after the cap
+    before = errs[f"m0:400"]
+    stats.record_error("m0", 400)
+    assert stats.snapshot()["errors"]["m0:400"] == before + 1
+
+
+def test_error_stats_counted_exactly_once(server):
+    """Failures raised INSIDE run_enhance (label 400) and BEFORE it (no
+    file field) each increment the error counters by exactly one — the
+    front ends check the _stats_recorded marker so the shared path and
+    the handler never double count (serve/handlers.py:90-99)."""
+    st = _server_state[server]
+    png = _png_bytes(16, 16)
+
+    def errors():
+        return dict(st.stats.snapshot()["errors"])
+
+    base = errors().get("cgan:400", 0)
+    body, ctype = _multipart({"file": ("x.png", "image/png", png),
+                              "label": (None, None, b"not-an-int")})
+    status, _ = _post(server + "/enhance?model=cgan", body, ctype)
+    assert status == 400
+    assert errors().get("cgan:400", 0) == base + 1  # inside run_enhance
+
+    base = errors().get("denoise:400", 0)
+    body, ctype = _multipart({"other": (None, None, b"zzz")})  # no file
+    status, _ = _post(server + "/enhance?model=denoise", body, ctype)
+    assert status == 400
+    assert errors().get("denoise:400", 0) == base + 1  # before run_enhance
+
+
+def test_malformed_meta_json_gates_default_floor(tmp_path):
+    """A truncated/garbage meta.json (retrain interrupted mid-rewrite) must
+    fall back to the default gate floor, not crash gate evaluation."""
+    from celebrity_image_denoiser_tpu.serve.quality import recorded_gate_floor
+
+    d = tmp_path / "denoise"
+    d.mkdir()
+    for payload in ('{"fixture_gain_db": 7.', '[]', '{"fixture_gain_db": "hi"}',
+                    '{"fixture_gain_db": null}'):
+        (d / "meta.json").write_text(payload)
+        assert recorded_gate_floor(str(tmp_path), "denoise", 1.0) == 1.0
+    (d / "meta.json").write_text('{"fixture_gain_db": 10.0}')
+    assert recorded_gate_floor(str(tmp_path), "denoise", 1.0) == pytest.approx(7.0)
