@@ -108,7 +108,10 @@ def main():
     except Exception:
         qapply = None
     try:
-        qapply_generic = quant.quantize_apply(model, params, state, calib)
+        # bias_correct matches serving's generic rung (handlers builds the
+        # fallback transform the same way — advisor r3 #4's program parity)
+        qapply_generic = quant.quantize_apply(model, params, state, calib,
+                                              bias_correct=True)
     except Exception:
         qapply_generic = None
 

@@ -64,6 +64,19 @@ class _Int8Apply:
         self.i = 0
 
 
+class _BiasCorrectCollect(_Int8Apply):
+    """One eager pass that runs the quantized cascade while recording, per
+    conv, the per-output-channel mean of (float conv − int8 conv) ON THE
+    QUANTIZED NETWORK'S OWN INPUTS (sequential/DFQ-style bias correction).
+    The recorded means are baked into the replay entries as additive
+    constants — they fold into the conv bias at compile time, so the
+    correction is free at serving time."""
+
+    def __init__(self, entries: List[Optional[tuple]]):
+        super().__init__(entries)
+        self.corrections: List[Optional[jax.Array]] = []
+
+
 def default_skip_policy(kernel: jax.Array) -> bool:
     """Skip quantization for convs with tiny channel counts: the 3-channel
     image-side layers are bandwidth-bound (not MXU-bound — kernel_notes
@@ -123,8 +136,11 @@ def conv_hook(x: jax.Array, kernel: jax.Array, out_axis: int,
     entry = mode.entries[mode.i]
     mode.i += 1
     if entry is None:
+        if isinstance(mode, _BiasCorrectCollect):
+            mode.corrections.append(None)
         return None
-    w_i8, w_scale, s_c = entry
+    w_i8, w_scale, s_c = entry[:3]
+    corr = entry[3] if len(entry) > 3 else None
     if tuple(w_i8.shape) != tuple(kernel.shape):
         # Replay is positional (tape-by-call-site); a shape mismatch means
         # the call sequence diverged from calibration and this entry belongs
@@ -139,7 +155,19 @@ def conv_hook(x: jax.Array, kernel: jax.Array, out_axis: int,
     y_i32 = run(x_i8, w_i8, jnp.int32)
     # w_scale carries the folded per-input-channel activation scales, so
     # the dequant is a single per-output-channel multiply
-    return (y_i32.astype(jnp.float32) * w_scale).astype(x.dtype)
+    y = (y_i32.astype(jnp.float32) * w_scale).astype(x.dtype)
+    if isinstance(mode, _BiasCorrectCollect):
+        # float conv on the SAME (quantized-cascade) input; the output
+        # channel is the last axis in NHWC for both conv and conv-transpose.
+        # Apply the correction immediately so deeper layers' corrections
+        # are computed against the already-corrected cascade (sequential).
+        y_f = run(xf, jnp.asarray(kernel, jnp.float32), jnp.float32)
+        corr = jnp.mean(y_f - jnp.asarray(y, jnp.float32),
+                        axis=tuple(range(y.ndim - 1)))
+        mode.corrections.append(corr)
+    if corr is not None:
+        y = y + corr.astype(y.dtype)
+    return y
 
 
 @contextlib.contextmanager
@@ -153,7 +181,8 @@ def _mode(m):
 
 def quantize_apply(model, params, state, calib_x,
                    skip: Callable = default_skip_policy,
-                   act_quantile: Optional[float] = None):
+                   act_quantile: Optional[float] = None,
+                   bias_correct: bool = False):
     """Build an int8-quantized eval forward for ``model``.
 
     One eager forward over ``calib_x`` (a representative input batch in the
@@ -164,6 +193,14 @@ def quantize_apply(model, params, state, calib_x,
     ``act_quantile``: per-channel activation ranges use this |x| quantile
     instead of the max (e.g. 0.999 — clips rare extremes so outlier pixels
     don't set a channel's step size).  None (default) = exact max.
+
+    ``bias_correct``: one extra eager pass records, per conv, the mean
+    per-output-channel error of the int8 conv vs the float conv on the
+    quantized cascade's own inputs, and bakes the negated mean into the
+    replay as an additive constant (sequential/DFQ-style bias correction).
+    Free at serving time (folds into the bias add); held-out receipts
+    (benchmarks/bias_correct_probe.py, shipped weights): denoise +0.68,
+    dncnn +0.50, esrgan +0.96, srgan +0.80, cgan +0.41 dB agreement.
     """
     calib = _Calibrate(quantile=act_quantile)
     with _mode(calib):
@@ -203,6 +240,17 @@ def quantize_apply(model, params, state, calib_x,
                        else s_c[0]))
         w_i8, w_scale = quantize_weight(w_folded, out_axis)
         entries.append((w_i8, w_scale, s_c))
+
+    if bias_correct:
+        collect = _BiasCorrectCollect(list(entries))
+        with _mode(collect):
+            model.apply(params, state, calib_x, train=False)
+        if len(collect.corrections) != len(entries):
+            raise ValueError(
+                f"bias-correction pass traced {len(collect.corrections)} "
+                f"convs but {len(entries)} were calibrated")
+        entries = [None if e is None else (*e, c)
+                   for e, c in zip(entries, collect.corrections)]
 
     def qapply(x):
         ctx = _Int8Apply(list(entries))

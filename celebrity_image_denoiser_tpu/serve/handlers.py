@@ -410,7 +410,13 @@ class ServeState:
                             "[%s] s8-skip-storage builder failed (%s); "
                             "trying the generic int8 transform", which, e)
                 if built is None:
-                    built = quant.quantize_apply(model, params, state, calib)
+                    # bias_correct: sequential per-channel mean-error
+                    # constants baked into the replay — free at serve time,
+                    # +0.4..+1.0 dB agreement on every family (held-out
+                    # receipts in benchmarks/bias_correct_probe.py; esrgan,
+                    # the tightest gate, gains the most at +0.96)
+                    built = quant.quantize_apply(model, params, state, calib,
+                                                 bias_correct=True)
                     db = agreement_db(built)
                     if db < 40.0:
                         raise ValueError(

@@ -565,3 +565,31 @@ def test_calibration_batch_sigma_list_and_quantile_knob():
     assert np.isfinite(y_max).all() and np.isfinite(y_pct).all()
     # the knob must change the program (scales differ)
     assert not np.allclose(y_max, y_pct)
+
+
+def test_bias_correction_improves_agreement_and_is_consumed():
+    """bias_correct=True bakes sequential per-channel mean-error constants
+    into the replay (ops/quant.py::_BiasCorrectCollect).  On a residual
+    trunk (ESRGAN-style, where the receipts show the win) the corrected
+    forward must agree with float at least as well as the uncorrected one,
+    and the replay must still consume every entry (same tape contract)."""
+    model = models.ESRGANGenerator(num_residuals=2)
+    params, state = model.init(prng.key(4))
+    rng = np.random.default_rng(5)
+    calib = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    yf = np.asarray(model.apply(params, state, x, train=False)[0])
+
+    def agree(qapply):
+        yq = np.asarray(jax.jit(qapply)(x))
+        mse = float(np.mean((yq - yf) ** 2))
+        return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+    base = agree(quant.quantize_apply(model, params, state, calib))
+    corrected = agree(quant.quantize_apply(model, params, state, calib,
+                                           bias_correct=True))
+    # the correction minimizes a per-channel mean error on the calibration
+    # batch; on a held-out input it must not make agreement meaningfully
+    # worse (and the receipts show it helps: bias_correct_probe.py)
+    assert corrected > base - 0.3, (base, corrected)
+    assert corrected > 40.0
