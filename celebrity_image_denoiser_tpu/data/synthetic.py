@@ -115,3 +115,41 @@ def calibration_batch(tanh: bool, size: int = 128,
         parts.append(noisy01)
     batch01 = jnp.concatenate(parts, axis=0)
     return batch01 * 2.0 - 1.0 if tanh else batch01
+
+
+def lr_batch(seed: int, n: int, hw: int, sigma: float = 0.0) -> jax.Array:
+    """[-1,1] low-resolution images: clean synthetics rendered at 4×hw and
+    bicubic-downsized (the SRGAN serving fixture's LR recipe,
+    serve/quality.py), with optional mild sensor noise."""
+    from celebrity_image_denoiser_tpu.ops.resize import resize
+
+    clean01 = synth_clean_batch(jax.random.PRNGKey(seed), n, 4 * hw)
+    lr01 = jnp.clip(resize(clean01, (hw, hw), method="bicubic"), 0.0, 1.0)
+    if sigma:
+        lr01 = jnp.clip(
+            lr01 + sigma * jax.random.normal(jax.random.PRNGKey(seed + 1),
+                                             lr01.shape), 0.0, 1.0)
+    return lr01 * 2.0 - 1.0
+
+
+def srgan_calibration_batch() -> jax.Array:
+    """SRGAN's per-family int8 calibration: the upscaler's serving inputs
+    are LOW-RESOLUTION images (the user uploads an LR image for a ×4
+    upscale), not the full-res noisy images the shared recipe synthesizes.
+    Cross-distribution receipts (benchmarks/srgan_calib_probe.py + the
+    round-4 cross probe, shipped weights, held-out):
+
+    | calibration | LR agreement | noisy agreement |
+    |---|---|---|
+    | shared noisy recipe | 50.8 dB | 32.1 dB |
+    | LR-only | 57.9 | 21.5 (brittle: clipped ranges) |
+    | LR + mild-noise + noisy crops (this) | 52.8 | 33.6 |
+
+    The mix strictly dominates the shared recipe on BOTH distributions:
+    8 clean LR 64² + 4 mild-noise LR + 4 noisy full-res crops, tanh
+    domain."""
+    return jnp.concatenate([
+        lr_batch(0, 8, 64),
+        lr_batch(20, 4, 64, sigma=0.05),
+        calibration_batch(True)[:4, :64, :64, :],
+    ])

@@ -65,12 +65,12 @@ class _Int8Apply:
 
 
 class _BiasCorrectCollect(_Int8Apply):
-    """One eager pass that runs the quantized cascade while recording, per
-    conv, the per-output-channel mean of (float conv − int8 conv) ON THE
-    QUANTIZED NETWORK'S OWN INPUTS (sequential/DFQ-style bias correction).
-    The recorded means are baked into the replay entries as additive
-    constants — they fold into the conv bias at compile time, so the
-    correction is free at serving time."""
+    """One (jitted) pass that runs the quantized cascade while recording,
+    per conv, the per-output-channel mean of (float conv − int8 conv) ON
+    THE QUANTIZED NETWORK'S OWN INPUTS (sequential/DFQ-style bias
+    correction).  The recorded means are baked into the replay entries as
+    additive constants — they fold into the conv bias at compile time, so
+    the correction is free at serving time."""
 
     def __init__(self, entries: List[Optional[tuple]]):
         super().__init__(entries)
@@ -199,8 +199,8 @@ def quantize_apply(model, params, state, calib_x,
     quantized cascade's own inputs, and bakes the negated mean into the
     replay as an additive constant (sequential/DFQ-style bias correction).
     Free at serving time (folds into the bias add); held-out receipts
-    (benchmarks/bias_correct_probe.py, shipped weights): denoise +0.68,
-    dncnn +0.50, esrgan +0.96, srgan +0.80, cgan +0.41 dB agreement.
+    (benchmarks/bias_correct_probe.py, shipped weights): denoise +0.60,
+    dncnn +0.50, esrgan +1.04, srgan +0.79, cgan +0.34 dB agreement.
     """
     calib = _Calibrate(quantile=act_quantile)
     with _mode(calib):
@@ -242,15 +242,33 @@ def quantize_apply(model, params, state, calib_x,
         entries.append((w_i8, w_scale, s_c))
 
     if bias_correct:
-        collect = _BiasCorrectCollect(list(entries))
-        with _mode(collect):
-            model.apply(params, state, calib_x, train=False)
-        if len(collect.corrections) != len(entries):
-            raise ValueError(
-                f"bias-correction pass traced {len(collect.corrections)} "
-                f"convs but {len(entries)} were calibrated")
-        entries = [None if e is None else (*e, c)
-                   for e, c in zip(entries, collect.corrections)]
+        # run the collect pass under jit: the contextvar tape works at
+        # trace time, the per-conv correction means come back as the
+        # program's outputs — one compiled forward instead of minutes of
+        # per-op eager dispatch (which on the tunneled dev TPU would make
+        # server startup unusable)
+        def _collect(x):
+            ctx = _BiasCorrectCollect(list(entries))
+            with _mode(ctx):
+                model.apply(params, state, x, train=False)
+            if len(ctx.corrections) != len(entries):
+                raise ValueError(
+                    f"bias-correction pass traced {len(ctx.corrections)} "
+                    f"convs but {len(entries)} were calibrated")
+            return [c for c in ctx.corrections if c is not None]
+
+        # means converge on far fewer pixels than the max-based activation
+        # scales need, so the collect pass runs on a strided subsample
+        # (≤8 images, ≤64² center crop) — the full pass at calibration
+        # size is dominated by int8 convs, which cost ~40× f32 on the CPU
+        # backends the tests run on
+        sub = calib_x[:: max(1, calib_x.shape[0] // 8)][:8]
+        if sub.ndim == 4 and sub.shape[1] > 48 and sub.shape[2] > 48:
+            h0 = (sub.shape[1] - 48) // 2
+            w0 = (sub.shape[2] - 48) // 2
+            sub = sub[:, h0:h0 + 48, w0:w0 + 48, :]
+        got = iter(jax.jit(_collect)(sub))
+        entries = [None if e is None else (*e, next(got)) for e in entries]
 
     def qapply(x):
         ctx = _Int8Apply(list(entries))

@@ -350,11 +350,22 @@ class ServeState:
             from celebrity_image_denoiser_tpu.ops import quant
 
             try:
-                # esrgan gets the 3-σ spread (its agreement gate is the
-                # tightest); see calibration_batch's receipt note
-                sigmas = ((0.05, 0.12, 0.25)
-                          if which.startswith("esrgan") else (0.12,))
-                calib = calibration_batch(tanh, sigmas=sigmas)
+                # per-family calibration, by receipt: esrgan gets the 3-σ
+                # spread (tightest agreement gate — calibration_batch's
+                # note); srgan gets the LR-matched mix (its serving inputs
+                # are low-res upscale requests, not full-res noisy images —
+                # srgan_calibration_batch's receipt table: strictly
+                # dominates the shared recipe on both distributions)
+                if which.startswith("srgan"):
+                    from celebrity_image_denoiser_tpu.data.synthetic import (
+                        srgan_calibration_batch,
+                    )
+
+                    calib = srgan_calibration_batch()
+                else:
+                    sigmas = ((0.05, 0.12, 0.25)
+                              if which.startswith("esrgan") else (0.12,))
+                    calib = calibration_batch(tanh, sigmas=sigmas)
 
                 def agreement_db(apply_q) -> float:
                     # runtime agreement gate: the shipped-weight gates live

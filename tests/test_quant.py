@@ -593,3 +593,58 @@ def test_bias_correction_improves_agreement_and_is_consumed():
     # worse (and the receipts show it helps: bias_correct_probe.py)
     assert corrected > base - 0.3, (base, corrected)
     assert corrected > 40.0
+
+
+def test_srgan_calibration_batch_recipe():
+    """SRGAN's per-family calibration (data/synthetic.
+    srgan_calibration_batch): LR-matched mix, tanh domain, fixed size —
+    the receipt table in its docstring shows it strictly dominating the
+    shared noisy recipe on both input distributions."""
+    from celebrity_image_denoiser_tpu.data.synthetic import (
+        srgan_calibration_batch,
+    )
+
+    batch = np.asarray(srgan_calibration_batch())
+    assert batch.shape == (16, 64, 64, 3)
+    assert batch.min() >= -1.0 and batch.max() <= 1.0
+    assert batch.min() < -0.2  # actually uses the tanh domain
+
+
+def test_quantized_srgan_serving_agrees_on_lr_input(tmp_path):
+    """SRGAN under quantize="int8" through the full /enhance path on a
+    serving-representative LOW-RES input (the upscale use case): >=40 dB
+    vs the float serving output.  Guarded by the LR-matched calibration —
+    the shared noisy recipe left bias-corrected LR agreement at 45 dB and
+    an LR-only calibration is brittle on noisy inputs (receipts:
+    data/synthetic.srgan_calibration_batch)."""
+    import os
+
+    from PIL import Image
+
+    from celebrity_image_denoiser_tpu.core.config import default_weights_dir
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+    from tests.test_serve import _structured_clean
+
+    wd = default_weights_dir()
+    if not os.path.isdir(os.path.join(wd, "srgan")):
+        pytest.skip("no shipped srgan checkpoint")
+
+    clean = _structured_clean(256)
+    lr = np.asarray(Image.fromarray(clean).resize(
+        (64, 64), Image.Resampling.BICUBIC))
+    buf = io.BytesIO()
+    Image.fromarray(lr).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    st_f = ServeState(weights_dir=wd, seed=0)
+    st_q = ServeState(weights_dir=wd, seed=0, quantize="int8")
+    rf = st_f.enhance("srgan", png, "image/png", include_graph=False)
+    rq = st_q.enhance("srgan", png, "image/png", include_graph=False)
+    yf = np.asarray(Image.open(io.BytesIO(
+        base64.b64decode(rf["denoised_image_base64"])))).astype(np.float32)
+    yq = np.asarray(Image.open(io.BytesIO(
+        base64.b64decode(rq["denoised_image_base64"])))).astype(np.float32)
+    assert yq.shape == (256, 256, 3)
+    mse = float(np.mean((yf - yq) ** 2))
+    agree_db = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    assert agree_db > 40.0, f"srgan int8 vs float on LR input {agree_db:.1f} dB"
