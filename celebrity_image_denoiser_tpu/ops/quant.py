@@ -8,8 +8,9 @@ dominate the serving models, benchmarks/kernel_notes.md round 3).
 Design: a *transform over the existing model code*, not a parallel model
 zoo.  ``ops.conv2d`` / ``ops.conv2d_transpose`` call the hook below on
 every invocation; under a calibration context each conv records its
-input's max-|x| (one eager forward over calibration data), and under an
-int8 context each conv re-runs as
+input's max-|x| (one jitted forward over calibration data — the tape
+records at trace time and the reductions are the program's outputs), and
+under an int8 context each conv re-runs as
 
     x_i8 = round(clip(x / s_c))          # PER-INPUT-CHANNEL activation
                                          # scales, folded into the weight
@@ -202,13 +203,28 @@ def quantize_apply(model, params, state, calib_x,
     (benchmarks/bias_correct_probe.py, shipped weights): denoise +0.60,
     dncnn +0.50, esrgan +1.04, srgan +0.79, cgan +0.34 dB agreement.
     """
+    # the calibration pass runs under jit: the contextvar tape records at
+    # trace time (kernels/axes are concrete — params are closed over), and
+    # the per-conv amax/quantile reductions come back as the compiled
+    # program's outputs.  One compiled forward instead of per-op eager
+    # dispatch — on the CPU test backend the eager quantile pass cost
+    # ~400 s for ESRGAN, and on the tunneled dev TPU eager calibration
+    # dominates server startup.
     calib = _Calibrate(quantile=act_quantile)
-    with _mode(calib):
-        model.apply(params, state, calib_x, train=False)
+
+    def _calibrate(x):
+        calib.taps.clear()
+        with _mode(calib):
+            model.apply(params, state, x, train=False)
+        return [t[0] for t in calib.taps]
+
+    amaxes = jax.jit(_calibrate)(calib_x)
     if not calib.taps:
         raise ValueError("no convs were traced — nothing to quantize")
+    taps = [(a, k, oa, sp)
+            for a, (_, k, oa, sp) in zip(amaxes, calib.taps)]
     entries: List[Optional[tuple]] = []
-    for amax_c, kernel, out_axis, _ in calib.taps:
+    for amax_c, kernel, out_axis, _ in taps:
         if skip(kernel):
             entries.append(None)
             continue
