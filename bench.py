@@ -163,15 +163,6 @@ def main():
         except Exception:
             return -1.0  # a rung that can't even run fails its gate
 
-    step_i8, i8_name, agree_db = None, "int8-unavailable", -1.0
-    if qapply is not None:
-        step_i8, i8_name = serve_step_i8, "int8-s8skip"
-        agree_db = try_agreement(step_i8)
-    if agree_db < 40.0 and qapply_generic is not None:
-        # fall back one rung: the generic transform (still gated below)
-        step_i8, i8_name = serve_step_i8_generic, "int8-generic"
-        agree_db = try_agreement(step_i8)
-
     def measure(step):
         fence(step(bf16_params, state, x))  # warmup/compile
         t0 = time.perf_counter()
@@ -181,10 +172,28 @@ def main():
         fence(cur)
         return N_ITERS * BATCH / (time.perf_counter() - t0)
 
-    # measure bf16 always; measure int8 only if it passes the gate, and
-    # report whichever is faster — robust to either path regressing
+    # measure bf16 always; walk the int8 rungs in order and keep the first
+    # that BOTH passes the agreement gate and measures (the b2048 compile
+    # is a different program than the b8 agreement probe — a degraded
+    # worker can fail it, and a rung failure must never crash the bench
+    # before its one-JSON-line contract); report whichever path is faster
     rate_bf16 = measure(serve_step_bf16)
-    rate_i8 = measure(step_i8) if agree_db >= 40.0 else 0.0
+    step_i8, i8_name, agree_db, rate_i8 = None, "int8-unavailable", -1.0, 0.0
+    for cand_step, cand_name, cand_q in (
+            (serve_step_i8, "int8-s8skip", qapply),
+            (serve_step_i8_generic, "int8-generic", qapply_generic)):
+        if cand_q is None:
+            continue
+        db = try_agreement(cand_step)
+        if db < 40.0:
+            step_i8, i8_name, agree_db = cand_step, cand_name, db
+            continue
+        try:
+            rate = measure(cand_step)
+        except Exception:
+            continue  # next rung
+        step_i8, i8_name, agree_db, rate_i8 = cand_step, cand_name, db, rate
+        break
     if rate_i8 > rate_bf16:
         imgs_per_sec = rate_i8
         note = f"{i8_name} ({agree_db:.0f} dB vs bf16; bf16 {rate_bf16:.0f}/s)"

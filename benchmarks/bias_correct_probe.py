@@ -59,21 +59,11 @@ def main():
             tanh = fam in ("denoise", "srgan")
         sigmas = (0.05, 0.12, 0.25) if fam == "esrgan" else (0.12,)
         calib = calibration_batch(tanh, sigmas=sigmas)
-        # held-out probe: same synthesis recipe, disjoint seeds + two
-        # off-calibration sigmas, so the receipt isn't measured on the
-        # exact calibration pixels
         from celebrity_image_denoiser_tpu.data.synthetic import (
-            synth_clean_batch,
+            heldout_noisy_batch,
         )
-        parts = []
-        for i, sigma in enumerate((0.08, 0.18)):
-            clean01 = synth_clean_batch(jax.random.PRNGKey(1000 + i), 4, 48)
-            parts.append(jnp.clip(
-                clean01 + sigma * jax.random.normal(
-                    jax.random.PRNGKey(2000 + i), clean01.shape), 0.0, 1.0))
-        probe = jnp.concatenate(parts, axis=0)
-        if tanh:
-            probe = probe * 2.0 - 1.0
+
+        probe = heldout_noisy_batch(tanh)
 
         yf = jnp.asarray(model.apply(params, state, probe, train=False)[0],
                          jnp.float32)

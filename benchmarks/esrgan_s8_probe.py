@@ -143,7 +143,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from celebrity_image_denoiser_tpu.data.synthetic import (
-        calibration_batch, synth_clean_batch,
+        calibration_batch, heldout_noisy_batch,
     )
     from celebrity_image_denoiser_tpu.serve.handlers import ServeState
 
@@ -152,13 +152,7 @@ def main():
     params, state = st.params["esrgan"]
     calib = calibration_batch(False, sigmas=(0.05, 0.12, 0.25))
 
-    parts = []
-    for i, sigma in enumerate((0.08, 0.18)):
-        clean01 = synth_clean_batch(jax.random.PRNGKey(1000 + i), 4, 48)
-        parts.append(jnp.clip(
-            clean01 + sigma * jax.random.normal(
-                jax.random.PRNGKey(2000 + i), clean01.shape), 0.0, 1.0))
-    probe = jnp.concatenate(parts, axis=0)
+    probe = heldout_noisy_batch(False)
 
     yf = jnp.asarray(model.apply(params, state, probe, train=False)[0],
                      jnp.float32)

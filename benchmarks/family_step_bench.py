@@ -100,10 +100,12 @@ def main():
 
     for which in args.families.split(","):
         which = which.strip()
-        b, hw = DEFAULTS[which]
-        if args.batch:
-            b = args.batch
+        if which == "cgan":  # natural spelling of the served keras backend
+            which = "cgan:keras"
         try:
+            b, hw = DEFAULTS[which]  # inside try: one unknown family must
+            if args.batch:           # not abort the other measurements
+                b = args.batch
             step, path = build_step(st, which)
             rng = np.random.default_rng(0)
             x = jax.device_put(rng.integers(

@@ -153,3 +153,21 @@ def srgan_calibration_batch() -> jax.Array:
         lr_batch(20, 4, 64, sigma=0.05),
         calibration_batch(True)[:4, :64, :64, :],
     ])
+
+
+def heldout_noisy_batch(tanh: bool, size: int = 48,
+                        sigmas=(0.08, 0.18)) -> jax.Array:
+    """Held-out agreement-probe batch for the quantization receipts: same
+    synthesis recipe as ``calibration_batch`` but DISJOINT seeds and
+    off-calibration sigmas, so receipts aren't measured on calibration
+    pixels.  Shared by benchmarks/bias_correct_probe.py and
+    benchmarks/esrgan_s8_probe.py — the kernel_notes tables compare their
+    numbers, so the probe definition must not drift between them."""
+    parts = []
+    for i, sigma in enumerate(sigmas):
+        clean01 = synth_clean_batch(jax.random.PRNGKey(1000 + i), 4, size)
+        parts.append(jnp.clip(
+            clean01 + sigma * jax.random.normal(
+                jax.random.PRNGKey(2000 + i), clean01.shape), 0.0, 1.0))
+    batch01 = jnp.concatenate(parts, axis=0)
+    return batch01 * 2.0 - 1.0 if tanh else batch01

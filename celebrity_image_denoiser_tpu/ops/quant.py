@@ -186,7 +186,7 @@ def quantize_apply(model, params, state, calib_x,
                    bias_correct: bool = False):
     """Build an int8-quantized eval forward for ``model``.
 
-    One eager forward over ``calib_x`` (a representative input batch in the
+    One jitted forward over ``calib_x`` (a representative input batch in the
     model's serving domain) records per-conv activation ranges; weights get
     per-output-channel scales.  Returns ``qapply(x) -> y`` (jittable, eval
     mode), with the int8 weights baked in as program constants.
@@ -195,7 +195,7 @@ def quantize_apply(model, params, state, calib_x,
     instead of the max (e.g. 0.999 — clips rare extremes so outlier pixels
     don't set a channel's step size).  None (default) = exact max.
 
-    ``bias_correct``: one extra eager pass records, per conv, the mean
+    ``bias_correct``: one extra jitted pass records, per conv, the mean
     per-output-channel error of the int8 conv vs the float conv on the
     quantized cascade's own inputs, and bakes the negated mean into the
     replay as an additive constant (sequential/DFQ-style bias correction).
@@ -275,7 +275,7 @@ def quantize_apply(model, params, state, calib_x,
 
         # means converge on far fewer pixels than the max-based activation
         # scales need, so the collect pass runs on a strided subsample
-        # (≤8 images, ≤64² center crop) — the full pass at calibration
+        # (≤8 images, ≤48² center crop) — the full pass at calibration
         # size is dominated by int8 convs, which cost ~40× f32 on the CPU
         # backends the tests run on
         sub = calib_x[:: max(1, calib_x.shape[0] // 8)][:8]

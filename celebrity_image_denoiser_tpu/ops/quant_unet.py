@@ -92,9 +92,21 @@ def quantize_apply_denoise_unet(model, params, state, calib_x,
     Raises ``ValueError`` if the traced conv sequence doesn't match the
     12-conv U-Net topology (callers fall back to the generic transform —
     serve/handlers._maybe_quantize's warn-and-continue)."""
+    # jitted calibration, same tape-at-trace-time mechanism as
+    # quant.quantize_apply: one compiled forward instead of ~12 per-op
+    # eager dispatches (which dominate server startup on the tunneled dev
+    # TPU — this builder is the DEFAULT serving rung for the flagship)
     tap = quant._Calibrate()
-    with quant._mode(tap):
-        model.apply(params, state, calib_x, train=False)
+
+    def _calibrate(x):
+        tap.taps.clear()
+        with quant._mode(tap):
+            model.apply(params, state, x, train=False)
+        return [t[0] for t in tap.taps]
+
+    amaxes = jax.jit(_calibrate)(calib_x)
+    tap.taps = [(a, k, oa, sp)
+                for a, (_, k, oa, sp) in zip(amaxes, tap.taps)]
     expected = [  # (kH, kW, in/out layout) per call — the U-Net topology
         (3, 3, 3, 64), (3, 3, 64, 64), (3, 3, 64, 128), (3, 3, 128, 128),
         (3, 3, 128, 256), (3, 3, 256, 256), (2, 2, 128, 256),

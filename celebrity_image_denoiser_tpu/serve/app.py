@@ -122,7 +122,6 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
                     cond_bytes=cond.data if cond else None,
                     graphs_raw=qs.get("graphs", ["true"])[0],
                 )
-                self._send(200, result)
             except EnhanceError as e:
                 # errors raised before run_enhance (bad multipart, missing
                 # file) haven't been counted yet — run_enhance marks the
@@ -130,11 +129,18 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
                 if not getattr(e, "_stats_recorded", False):
                     st.stats.record_error(model, e.status)
                 self._send(e.status, {"detail": e.detail})
+                return
             except Exception as e:
                 if not getattr(e, "_stats_recorded", False):
                     st.stats.record_error(model, 500)
                 logger.error("Enhancement failed: %s", e, exc_info=True)
                 self._send(500, {"detail": "Image enhancement failed"})
+                return
+            # the success write sits OUTSIDE the counting try: a client
+            # that disconnects before the response lands (BrokenPipeError
+            # here) got a successful enhancement, not a model:500 — the
+            # exception propagates to http.server's own handler
+            self._send(200, result)
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.state = st
@@ -158,6 +164,7 @@ def create_fastapi_app(weights_dir: Optional[str] = None,
                        precompile=None):
     """FastAPI variant (optional dependency)."""
     from fastapi import FastAPI, File, Form, HTTPException, UploadFile
+    from fastapi.exceptions import RequestValidationError
     from fastapi.middleware.cors import CORSMiddleware
     from fastapi.responses import HTMLResponse
 
@@ -191,6 +198,20 @@ def create_fastapi_app(weights_dir: Optional[str] = None,
 
         return PlainTextResponse(st.stats.prometheus(),
                                  media_type="text/plain; version=0.0.4")
+
+    @app.exception_handler(RequestValidationError)
+    async def _count_validation_errors(request, exc):
+        # exactly-once parity with the stdlib front end: failures raised
+        # BEFORE run_enhance (missing file field / model param) must reach
+        # the error counters on this stack too.  The 422 status itself is
+        # FastAPI's contract and stays.
+        from fastapi.encoders import jsonable_encoder
+        from fastapi.responses import JSONResponse
+
+        model = (request.query_params.get("model") or "").strip()
+        st.stats.record_error(model, 422)
+        return JSONResponse(status_code=422,
+                            content={"detail": jsonable_encoder(exc.errors())})
 
     @app.post("/enhance")
     async def enhance(model: str, file: UploadFile = File(...),

@@ -425,7 +425,7 @@ class ServeState:
                     # constants baked into the replay — free at serve time,
                     # +0.4..+1.0 dB agreement on every family (held-out
                     # receipts in benchmarks/bias_correct_probe.py; esrgan,
-                    # the tightest gate, gains the most at +0.96)
+                    # the tightest gate, gains the most at +1.04)
                     built = quant.quantize_apply(model, params, state, calib,
                                                  bias_correct=True)
                     db = agreement_db(built)

@@ -971,3 +971,27 @@ def test_malformed_meta_json_gates_default_floor(tmp_path):
         assert recorded_gate_floor(str(tmp_path), "denoise", 1.0) == 1.0
     (d / "meta.json").write_text('{"fixture_gain_db": 10.0}')
     assert recorded_gate_floor(str(tmp_path), "denoise", 1.0) == pytest.approx(7.0)
+
+
+def test_fastapi_validation_errors_counted():
+    """Failures raised BEFORE run_enhance on the FastAPI stack (missing
+    file → RequestValidationError) must reach the error counters too, so
+    the two front ends' /metrics agree (exactly-once parity)."""
+    pytest.importorskip("fastapi")
+    from fastapi.testclient import TestClient
+
+    from celebrity_image_denoiser_tpu.serve.app import create_fastapi_app
+
+    app = create_fastapi_app(weights_dir="/nonexistent-weights")
+    client = TestClient(app)
+    r = client.post("/enhance?model=denoise")  # no file part
+    assert r.status_code == 422
+    # the app factory closes over its ServeState; read counters via /stats
+    s = client.get("/stats").json()
+    assert s["errors"].get("denoise:422") == 1
+    # a label 400 raised INSIDE run_enhance is still counted exactly once
+    r = client.post("/enhance?model=cgan", data={"label": "zzz"},
+                    files={"file": ("a.png", "image/png", _png_bytes())})
+    assert r.status_code == 400
+    s = client.get("/stats").json()
+    assert s["errors"].get("cgan:400") == 1
