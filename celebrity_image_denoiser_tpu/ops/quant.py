@@ -320,3 +320,37 @@ def quantized_fraction(model, params, state, calib_x,
         if not skip(kernel):
             q += f
     return q / max(tot, 1.0)
+
+
+def make_indexed_skip(float_call_indices, base: Callable = default_skip_policy):
+    """Per-call-index skip policy: ORs ``base`` with membership of the conv's
+    CALL INDEX (tape order) in ``float_call_indices``.  Stateful — build a
+    fresh one per ``quantize_apply`` call.
+
+    Exists for ESRGAN's residual trunk: the round-4 28k-step checkpoint
+    grew the trunk's dynamic range (per-layer receipts in kernel_notes.md
+    "ESRGAN int8 regression") until 8 bits can't represent the block-input
+    activations — the trunk-input convs (call indices 3,5,...,15 for 8
+    blocks) measure 25-29 dB isolated SNR and drag full-program agreement
+    to ~34 dB, below the 40 dB serving gate, which correctly rejected the
+    transform (esrgan silently served float).  Keeping those seven convs
+    float and the nine well-conditioned ones int8 restores 40.9 dB
+    held-out / 42.3 dB on the gate probe.  Quantile clipping does NOT fix
+    it (the trunk genuinely uses its range — measured, same receipts)."""
+    float_set = set(int(i) for i in float_call_indices)
+
+    class _Skip:
+        def __init__(self):
+            self.i = -1
+
+        def __call__(self, kernel):
+            self.i += 1
+            return base(kernel) or self.i in float_set
+
+    return _Skip()
+
+
+# ESRGANGenerator(num_residuals=8) conv-call indices whose input is the
+# residual trunk (block b's first conv = call 1+2b; block 0's input is the
+# well-conditioned head output, so it stays int8)
+ESRGAN_TRUNK_CALLS = tuple(1 + 2 * b for b in range(1, 8))

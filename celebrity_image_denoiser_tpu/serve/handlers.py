@@ -425,9 +425,17 @@ class ServeState:
                     # constants baked into the replay — free at serve time,
                     # +0.4..+1.0 dB agreement on every family (held-out
                     # receipts in benchmarks/bias_correct_probe.py; esrgan,
-                    # the tightest gate, gains the most at +1.04)
+                    # the tightest gate, gains the most at +1.04).
+                    # esrgan additionally keeps its residual-trunk-input
+                    # convs float: the r4 28k checkpoint's trunk outgrew 8
+                    # bits and the all-int8 program fails the gate at ~34 dB
+                    # (quant.make_indexed_skip's receipt note) — the mixed
+                    # program restores 42 dB with 9/16 inner convs int8
+                    skip = (quant.make_indexed_skip(quant.ESRGAN_TRUNK_CALLS)
+                            if which.split(":")[0] == "esrgan"
+                            else quant.default_skip_policy)
                     built = quant.quantize_apply(model, params, state, calib,
-                                                 bias_correct=True)
+                                                 skip=skip, bias_correct=True)
                     db = agreement_db(built)
                     if db < 40.0:
                         raise ValueError(

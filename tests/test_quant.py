@@ -532,6 +532,14 @@ def test_quantized_serving_quality_gate(tmp_path):
     for model_name in ("dncnn", "denoise", "esrgan"):
         rf = st_f.enhance(model_name, png, "image/png", include_graph=False)
         rq = st_q.enhance(model_name, png, "image/png", include_graph=False)
+        # the gate must bite: if the runtime agreement gate rejected the
+        # transform, the family silently serves float and the agreement
+        # assert below passes trivially (float vs float) — that exact
+        # blind spot hid the r4 esrgan trunk regression for a round
+        assert st_q.last_compute_backend() == "int8", (
+            f"{model_name}: expected the int8 routing, got "
+            f"{st_q.last_compute_backend()} — runtime gate rejected the "
+            "quantized forward (see the serve log)")
         yf = np.asarray(Image.open(io.BytesIO(
             base64.b64decode(rf["denoised_image_base64"])))).astype(np.float32)
         yq = np.asarray(Image.open(io.BytesIO(
