@@ -648,6 +648,9 @@ def test_quantized_srgan_serving_agrees_on_lr_input(tmp_path):
     st_q = ServeState(weights_dir=wd, seed=0, quantize="int8")
     rf = st_f.enhance("srgan", png, "image/png", include_graph=False)
     rq = st_q.enhance("srgan", png, "image/png", include_graph=False)
+    # same blind-spot guard as the quality gate: a runtime-gate rejection
+    # would serve float and trivially agree — assert the int8 routing
+    assert st_q.last_compute_backend() == "int8", st_q.last_compute_backend()
     yf = np.asarray(Image.open(io.BytesIO(
         base64.b64decode(rf["denoised_image_base64"])))).astype(np.float32)
     yq = np.asarray(Image.open(io.BytesIO(
