@@ -78,6 +78,50 @@ class _BiasCorrectCollect(_Int8Apply):
         self.corrections: List[Optional[jax.Array]] = []
 
 
+class _FakeQuant:
+    """Differentiable int8 simulation (quantization-aware training).
+
+    Every policy-eligible conv runs the SAME arithmetic as the serving
+    int8 path — per-input-channel activation scales folded into the
+    weight, per-output-channel weight scales, symmetric round/clip —
+    but in f32 with straight-through-estimator rounding, so gradients
+    flow to the weights THROUGH the quantizer.  Activation scales are
+    dynamic (per batch, stop-gradient), standing in for the serving
+    path's static calibration; weight gradients see the fold, so a
+    fine-tune can shrink ranges the static calibration will later
+    record.
+
+    Exists for checkpoints whose activations outgrow 8 bits — the r4
+    ESRGAN trunk regression (kernel_notes.md): the 28k-step retrain
+    widened the residual trunk's dynamic range until the all-int8
+    program failed the 40 dB serving gate and seven convs had to stay
+    float (`ESRGAN_TRUNK_CALLS`).  A short QAT fine-tune under this
+    mode re-centers the weights so the full int8 program passes again.
+    """
+
+    def __init__(self, skip: Callable):
+        self.skip = skip
+
+
+def _ste_round(v: jax.Array) -> jax.Array:
+    """round() with a straight-through gradient (identity backward)."""
+    return v + jax.lax.stop_gradient(jnp.round(v) - v)
+
+
+@contextlib.contextmanager
+def fake_quant(skip: Optional[Callable] = None):
+    """Context manager: model.apply calls inside simulate the int8 serving
+    path with STE gradients (see _FakeQuant).  ``skip`` defaults to the
+    serving default policy; pass a FRESH stateful policy per traced call
+    (e.g. ``make_indexed_skip(...)``) if using one."""
+    yield_mode = _FakeQuant(skip or default_skip_policy)
+    tok = _MODE.set(yield_mode)
+    try:
+        yield yield_mode
+    finally:
+        _MODE.reset(tok)
+
+
 def default_skip_policy(kernel: jax.Array) -> bool:
     """Skip quantization for convs with tiny channel counts: the 3-channel
     image-side layers are bandwidth-bound (not MXU-bound — kernel_notes
@@ -128,6 +172,36 @@ def conv_hook(x: jax.Array, kernel: jax.Array, out_axis: int,
             amax_c = jnp.quantile(flat, mode.quantile, axis=0)
         mode.taps.append((amax_c, kernel, out_axis, spatial))
         return None
+    if isinstance(mode, _FakeQuant):
+        if mode.skip(kernel):
+            return None  # float path, exactly like the serving skip
+        xf = jnp.asarray(x, jnp.float32)
+        # dynamic per-input-channel activation scale: the QAT stand-in for
+        # the serving path's static calibration (stop-grad — the scale is
+        # quantizer state, not a learnable path; the same 1%-of-max floor
+        # as quantize_apply so near-dead channels don't hard-clip)
+        amax_c = jax.lax.stop_gradient(
+            jnp.max(jnp.abs(xf).reshape(-1, xf.shape[-1]), axis=0))
+        s_c = jnp.maximum(jnp.maximum(amax_c, 0.01 * jnp.max(amax_c)),
+                          1e-12) / 127.0
+        oa = out_axis % kernel.ndim
+        in_axis = 3 if oa == 2 else kernel.ndim - 2
+        if int(kernel.shape[in_axis]) != int(s_c.shape[0]):
+            s_c = jnp.max(s_c, keepdims=True)  # grouped conv: scalar scale
+        fold_shape = [1] * kernel.ndim
+        fold_shape[in_axis] = -1 if int(s_c.shape[0]) > 1 else 1
+        wf = jnp.asarray(kernel, jnp.float32) * (
+            s_c.reshape(fold_shape) if int(s_c.shape[0]) > 1 else s_c[0])
+        reduce_axes = tuple(i for i in range(wf.ndim) if i != oa)
+        w_scale = jnp.maximum(
+            jax.lax.stop_gradient(
+                jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)),
+            1e-12) / 127.0
+        x_q = _ste_round(jnp.clip(xf / s_c, -127.0, 127.0))
+        w_q = _ste_round(jnp.clip(wf / w_scale, -127.0, 127.0))
+        y = run(x_q, w_q, jnp.float32)
+        # dequant: same single per-output-channel multiply as serving
+        return (y * w_scale.reshape(-1)).astype(x.dtype)
     if mode.i >= len(mode.entries):
         raise ValueError(
             f"int8 replay over-consumed: conv call #{mode.i} but only "

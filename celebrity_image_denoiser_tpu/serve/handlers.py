@@ -426,24 +426,41 @@ class ServeState:
                     # +0.4..+1.0 dB agreement on every family (held-out
                     # receipts in benchmarks/bias_correct_probe.py; esrgan,
                     # the tightest gate, gains the most at +1.04).
-                    # esrgan additionally keeps its residual-trunk-input
-                    # convs float: the r4 28k checkpoint's trunk outgrew 8
-                    # bits and the all-int8 program fails the gate at ~34 dB
-                    # (quant.make_indexed_skip's receipt note) — the mixed
-                    # program restores 42 dB with 9/16 inner convs int8
-                    skip = (quant.make_indexed_skip(quant.ESRGAN_TRUNK_CALLS)
-                            if which.split(":")[0] == "esrgan"
-                            else quant.default_skip_policy)
-                    built = quant.quantize_apply(model, params, state, calib,
-                                                 skip=skip, bias_correct=True)
-                    db = agreement_db(built)
-                    if db < 40.0:
+                    # esrgan gets a second rung: checkpoints whose residual
+                    # trunk outgrew 8 bits (the r4 28k retrain did — the
+                    # all-int8 program fails the gate at ~34 dB; see
+                    # quant.make_indexed_skip's receipt note) fall back to
+                    # the mixed trunk-float policy (9/16 inner convs int8,
+                    # ~42 dB).  The shipped checkpoint is QAT-fine-tuned
+                    # (scripts/train_serving_weights.py --qat-steps) so the
+                    # all-int8 rung passes; the mixed rung remains for
+                    # imported reference checkpoints with wild trunks.
+                    rungs = [("int8", quant.default_skip_policy)]
+                    if which.split(":")[0] == "esrgan":
+                        rungs.append(
+                            ("int8-trunkfloat",
+                             quant.make_indexed_skip(
+                                 quant.ESRGAN_TRUNK_CALLS)))
+                    db = -1.0
+                    for rung_name, skip in rungs:
+                        cand = quant.quantize_apply(
+                            model, params, state, calib,
+                            skip=skip, bias_correct=True)
+                        db = agreement_db(cand)
+                        if db >= 40.0:
+                            built = cand
+                            logger.info(
+                                "[%s] int8-quantized serving forward built "
+                                "(ops/quant.py, %s policy), %.1f dB vs "
+                                "float", which, rung_name, db)
+                            break
+                        logger.warning(
+                            "[%s] %s policy failed the runtime agreement "
+                            "gate (%.1f dB < 40)", which, rung_name, db)
+                    if built is None:
                         raise ValueError(
                             f"int8 forward failed the runtime agreement "
                             f"gate ({db:.1f} dB < 40) on these weights")
-                    logger.info("[%s] int8-quantized serving forward built "
-                                "(ops/quant.py), %.1f dB vs float",
-                                which, db)
                 self._fns[key] = built
             except Exception as e:
                 # warn-and-continue like weight loading (app.py:333-336's

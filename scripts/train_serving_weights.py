@@ -318,6 +318,137 @@ def train_family(args) -> None:
               "the margin gate will fall back to the previous recording")
 
 
+def qat_finetune(args) -> None:
+    """Quantization-aware fine-tune of an EXISTING checkpoint (``--qat-steps``).
+
+    Starts from ``weights/<family>`` (or ``--init-from``) and fine-tunes the
+    generator with the int8 serving arithmetic simulated in the loss
+    (ops/quant.py::fake_quant — STE rounding, per-channel folded scales):
+
+        L = MSE(float, clean) + MSE(fakequant, clean)
+            + qat_agree · MSE(fakequant, float)
+
+    The agreement term directly optimizes what the serving runtime gate
+    measures (int8-vs-float agreement, serve/handlers.py ``agreement_db``).
+    BatchNorm runs frozen (eval mode) on both branches — standard QAT
+    practice, and it keeps the two branches' normalization identical so the
+    agreement term sees only quantization error.
+
+    Exists for the r4 ESRGAN trunk regression (kernel_notes.md): the
+    28k-step checkpoint's residual trunk outgrew 8 bits, failing the
+    all-int8 program's 40 dB gate; a short QAT fine-tune restores it."""
+    family = args.family
+    size, batch = args.size, args.batch
+    gen, _ = build_models(family, size)
+    src = args.init_from or os.path.join(args.out, family)
+    sections, src_meta = ckpt_lib.load_checkpoint(src)
+    if "generator" not in sections:
+        raise SystemExit(f"--qat-steps needs an existing checkpoint at {src}")
+    gp = sections["generator"]
+    gs = sections.get("generator_state")
+    print(f"[{family}-qat] fine-tuning from {src} "
+          f"({src_meta.get('steps', '?')} steps, "
+          f"gain {src_meta.get('gain_db', '?')} dB)")
+    from celebrity_image_denoiser_tpu.ops import quant
+
+    adam_init, adam_update = optim.adam()
+    opt = adam_init(gp)
+    tanh = family in ("denoise", "srgan")
+    variant = FAMILY_NOISE_VARIANT.get(family, 1)
+
+    def loss_fn(gp, key):
+        kd, kn = jax.random.split(key)
+        clean01 = synth_clean_batch(kd, batch, size)
+        if family == "dncnn":
+            noisy01 = noise_lib.blind_gaussian_batch(kn, clean01)
+        else:
+            noisy01 = noise_lib.random_noise_batch(kn, clean01,
+                                                   variant=variant)
+        if tanh:
+            xin, target = noisy01 * 2.0 - 1.0, clean01 * 2.0 - 1.0
+        else:
+            xin, target = noisy01, clean01
+        yf, _ = gen.apply(gp, gs, xin, train=False)
+        with quant.fake_quant():
+            yq, _ = gen.apply(gp, gs, xin, train=False)
+        mse_f = jnp.mean((yf - target) ** 2)
+        mse_q = jnp.mean((yq - target) ** 2)
+        agree = jnp.mean((yq - yf) ** 2)
+        return mse_f + mse_q + args.qat_agree * agree, (mse_f, mse_q, agree)
+
+    def chunk(carry, key, lr):
+        def body(c, k):
+            gp, opt = c
+            (_, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(gp, k)
+            gp2, opt2 = adam_update(grads, opt, gp, lr)
+            return (gp2, opt2), aux
+
+        return jax.lax.scan(body, carry, jax.random.split(key, args.chunk))
+
+    chunk = jax.jit(chunk, donate_argnums=(0,))
+    carry = (gp, opt)
+    n_chunks = max(1, args.qat_steps // args.chunk)
+    lr0 = args.qat_lr
+    t_start = time.perf_counter()
+    for i in range(n_chunks):
+        frac = i / n_chunks
+        lr = lr0 * (1.0 if frac < 0.6 else 0.5 if frac < 0.85 else 0.25)
+        t0 = time.perf_counter()
+        carry, aux = chunk(carry, prng.key(3000 + i), jnp.float32(lr))
+        mf, mq, ag = (float(np.asarray(jax.device_get(a[-1]))) for a in aux)
+        agree_db = 10.0 * np.log10(
+            ((2.0 if tanh else 1.0) ** 2) / max(ag, 1e-12))
+        dt = time.perf_counter() - t0
+        print(f"[{family}-qat] chunk {i + 1}/{n_chunks} "
+              f"steps {(i + 1) * args.chunk}  mse_f {mf:.5f}  mse_q {mq:.5f}  "
+              f"agree {agree_db:.1f} dB  "
+              f"{args.chunk * batch / dt:.0f} img/s", flush=True)
+    gp = carry[0]
+
+    # held-out at the SOURCE checkpoint's recorded size: the ship-guard
+    # below compares against src_meta's gain, which was measured there
+    eval_size = int(src_meta.get("size", size) or size)
+    report = evaluate(family, gen, gp, gs, eval_size)
+    print(f"[{family}-qat] held-out (at {eval_size}²): {report}")
+    prev_gain = float(src_meta.get("gain_db", 0.0) or 0.0)
+    if report["gain_db"] < 0.85 * prev_gain:
+        raise SystemExit(
+            f"[{family}-qat] REFUSING to ship: held-out gain "
+            f"{report['gain_db']:.2f} dB lost >15% of the source "
+            f"checkpoint's {prev_gain:.2f} dB — raise --qat-agree less or "
+            "shorten the fine-tune")
+    out = os.path.join(args.out, family)
+    meta = {k: src_meta[k] for k in ("family", "steps", "pretrain_steps",
+                                     "batch", "size", "lr", "stage_lr",
+                                     "data") if k in src_meta}
+    meta.update({"family": family, "qat_steps": n_chunks * args.chunk,
+                 "qat_lr": lr0, "qat_agree": args.qat_agree, **report})
+    ckpt_lib.save_checkpoint(
+        out, {"generator": gp, "generator_state": gs}, meta=meta)
+    ckpt_lib.wait_for_saves()
+    print(f"[{family}-qat] saved {out}  "
+          f"({time.perf_counter() - t_start:.0f}s total)")
+
+    try:
+        import json
+
+        from celebrity_image_denoiser_tpu.serve import quality
+        from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+        st = ServeState(weights_dir=args.out)
+        fg = quality.fixture_gain_db(st, family)
+        meta_path = os.path.join(out, "meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["fixture_gain_db"] = round(fg, 3)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=1)
+        print(f"[{family}-qat] serving-fixture gain {fg:+.2f} dB recorded")
+    except Exception as e:
+        print(f"[{family}-qat] WARNING: fixture-gain recording failed ({e})")
+
+
 def evaluate(family, gen, g_params, g_state, size, n=16, seed=77):
     """PSNR of generator output vs its noisy input, on fresh synthetic data."""
     k1, k2 = jax.random.split(prng.key(seed))
@@ -463,6 +594,20 @@ def main(argv=None) -> int:
                     help="srgan stage-2 only: EMA decay for an averaged copy "
                          "of G (e.g. 0.995); raw and EMA weights are both "
                          "evaluated and the better-PSNR one ships. 0 = off")
+    ap.add_argument("--qat-steps", type=int, default=0,
+                    help="quantization-aware fine-tune of the EXISTING "
+                         "checkpoint (ops/quant.py::fake_quant): trains "
+                         "float+fakequant branches to agree so the all-int8 "
+                         "serving program passes its 40 dB runtime gate. "
+                         "Runs INSTEAD of normal training")
+    ap.add_argument("--qat-lr", type=float, default=2e-5,
+                    help="QAT fine-tune learning rate (gentle: the goal is "
+                         "re-conditioning, not re-learning)")
+    ap.add_argument("--qat-agree", type=float, default=2.0,
+                    help="weight of the fakequant-vs-float agreement term")
+    ap.add_argument("--init-from", default=None,
+                    help="checkpoint dir the QAT fine-tune starts from "
+                         "(default: <out>/<family>)")
     ap.add_argument("--chunk", type=int, default=50,
                     help="optimizer steps per device call (lax.scan length)")
     ap.add_argument("--batch", type=int, default=32)
@@ -477,6 +622,8 @@ def main(argv=None) -> int:
         args.pretrain_steps = 3 * args.steps if args.family == "srgan" else 0
     if args.family == "perceptual":
         train_perceptual(args)
+    elif args.qat_steps > 0:
+        qat_finetune(args)
     else:
         train_family(args)
     return 0

@@ -659,3 +659,53 @@ def test_quantized_srgan_serving_agrees_on_lr_input(tmp_path):
     mse = float(np.mean((yf - yq) ** 2))
     agree_db = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
     assert agree_db > 40.0, f"srgan int8 vs float on LR input {agree_db:.1f} dB"
+
+
+def test_fake_quant_matches_int8_arithmetic_and_flows_gradients():
+    """ops/quant.py::fake_quant (the QAT mode behind
+    scripts/train_serving_weights.py --qat-steps):
+
+    1. per-conv it runs the exact serving int8 arithmetic (fold, round,
+       clip, per-out-channel dequant) — on the calibration batch itself,
+       where the dynamic scales equal the static calibrated ones, it must
+       track the PTQ forward far more closely than either tracks float;
+    2. a skip-everything policy is bit-exact float (the hook really is a
+       pass-through when the policy declines every conv);
+    3. gradients flow through the STE rounding to every conv kernel
+       (finite, and nonzero somewhere) — the property QAT needs."""
+    from celebrity_image_denoiser_tpu.data.synthetic import calibration_batch
+
+    model = models.DnCNN(depth=5)
+    params, state = model.init(prng.key(0))
+    calib = calibration_batch(False, 32)
+    x = calib[:4]
+
+    yf, _ = model.apply(params, state, x, train=False)
+    with quant.fake_quant():
+        yfq, _ = model.apply(params, state, x, train=False)
+    yq = quant.quantize_apply(model, params, state, calib)(x)
+
+    def db(a, b):
+        mse = float(jnp.mean((jnp.asarray(a, jnp.float32)
+                              - jnp.asarray(b, jnp.float32)) ** 2))
+        return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    fq_vs_ptq = db(yfq, yq)
+    assert fq_vs_ptq > 40.0, f"fake-quant vs PTQ only {fq_vs_ptq:.1f} dB"
+    # and it is genuinely quantized (not the float path): PTQ agreement
+    # beats float agreement, or quantization is a no-op on these weights
+    assert not np.array_equal(np.asarray(yfq), np.asarray(yf))
+
+    with quant.fake_quant(skip=lambda k: True):
+        y_id, _ = model.apply(params, state, x, train=False)
+    assert np.array_equal(np.asarray(y_id), np.asarray(yf))
+
+    def loss(p):
+        with quant.fake_quant():
+            y, _ = model.apply(p, state, x, train=False)
+        return jnp.mean((y - x) ** 2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    leaves = jax.tree.leaves(g)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
