@@ -178,31 +178,35 @@ def main():
     # worker can fail it, and a rung failure must never crash the bench
     # before its one-JSON-line contract); report whichever path is faster
     rate_bf16 = measure(serve_step_bf16)
-    step_i8, i8_name, agree_db, rate_i8 = None, "int8-unavailable", -1.0, 0.0
+    i8_name, agree_db, rate_i8 = None, -1.0, 0.0
+    skipped = []  # per-rung outcomes, so a fallback note never mis-blames
     for cand_step, cand_name, cand_q in (
             (serve_step_i8, "int8-s8skip", qapply),
             (serve_step_i8_generic, "int8-generic", qapply_generic)):
         if cand_q is None:
+            skipped.append(f"{cand_name}: builder failed")
             continue
         db = try_agreement(cand_step)
         if db < 40.0:
-            step_i8, i8_name, agree_db = cand_step, cand_name, db
+            skipped.append(f"{cand_name}: gate FAILED {db:.0f} dB")
             continue
         try:
             rate = measure(cand_step)
         except Exception:
-            continue  # next rung
-        step_i8, i8_name, agree_db, rate_i8 = cand_step, cand_name, db, rate
+            skipped.append(f"{cand_name}: gate ok {db:.0f} dB but "
+                           "b2048 measure failed")
+            continue
+        i8_name, agree_db, rate_i8 = cand_name, db, rate
         break
     if rate_i8 > rate_bf16:
         imgs_per_sec = rate_i8
         note = f"{i8_name} ({agree_db:.0f} dB vs bf16; bf16 {rate_bf16:.0f}/s)"
-    elif agree_db >= 40.0:
+    elif i8_name is not None:
         imgs_per_sec = rate_bf16
         note = f"bf16 ({i8_name} slower: {rate_i8:.0f}/s)"
     else:
         imgs_per_sec = rate_bf16
-        note = f"bf16 (int8 gate FAILED {agree_db:.0f} dB)"
+        note = "bf16 (" + "; ".join(skipped or ["no int8 rung"]) + ")"
 
     watchdog.cancel()
     print(json.dumps({

@@ -133,6 +133,12 @@ def double_conv3x3_relu(
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 8 - c0)))
         w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, 8 - c0), (0, 0)))
         c0 = 8
+        if kpack in (True, 1):
+            # packing conv1 at padded image-side widths emits a 72-lane
+            # concat that crashes Mosaic on the real v5e (r4 receipts, and
+            # a wedge hazard per CLAUDE.md) — demote to conv2-only packing;
+            # conv1 is ~1/8 of the pair's FLOPs, so nothing is lost.
+            kpack = 2
     # double-halo padding: 2 rows/cols each side (1 per conv)
     xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
     xa = xp[:, 0:h, :, :]        # rows r .. r+tile_h      of each tile

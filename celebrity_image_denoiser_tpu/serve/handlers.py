@@ -73,6 +73,9 @@ def run_enhance(st: "ServeState", *, model: str, file_bytes: bytes,
     FastAPI) — label parsing (400, not framework-specific 422) and the
     ``graphs=false`` figure opt-out behave identically on both."""
     t0 = time.perf_counter()
+    # canonical stats key: enhance() lowercases before routing, so counters
+    # must too or ?model=DENOISE mints its own Prometheus series
+    model_key = str(model).strip().lower()
     try:
         label = None
         if label_raw is not None:
@@ -92,13 +95,13 @@ def run_enhance(st: "ServeState", *, model: str, file_bytes: bytes,
         # _stats_recorded before counting errors raised OUTSIDE this shared
         # path (bad multipart, missing file)
         status = e.status if isinstance(e, EnhanceError) else 500
-        st.stats.record_error(model, status)
+        st.stats.record_error(model_key, status)
         try:
             e._stats_recorded = True
         except Exception:
             pass
         raise
-    st.stats.record(model, time.perf_counter() - t0,
+    st.stats.record(model_key, time.perf_counter() - t0,
                     st.last_compute_backend())
     return result
 
@@ -271,6 +274,18 @@ class ServeState:
             self._fns[("raw", which)] = fn  # for mesh-sharded re-jits
             self._fns[which] = jax.jit(fn)
         quantized = self._fns.get(("qapply", which)) is not None
+
+        def _quantized_apply_fn():
+            # (params, state, x)-shaped wrapper over the int8 replay for the
+            # big-input paths; None routes them to the float model.apply
+            qapply = self._fns.get(("qapply", which))
+            if qapply is None:
+                return None
+
+            def apply_fn(p, s, t, _q=qapply):
+                return _q(t)
+            return apply_fn
+
         if x.shape[1] > self.tile_threshold_rows:
             n_dev = 0 if self.mesh is None else self.mesh.devices.size
             if n_dev > 1 and x.shape[1] % n_dev == 0:
@@ -284,13 +299,8 @@ class ServeState:
                     from celebrity_image_denoiser_tpu.parallel.tiling import (
                         spatial_sharded_apply,
                     )
-                    qapply = self._fns.get(("qapply", which))
-                    apply_fn = None
-                    if qapply is not None:
-                        def apply_fn(p, s, t, _q=qapply):
-                            return _q(t)
                     self._fns[key] = spatial_sharded_apply(
-                        model, self.mesh, apply_fn=apply_fn)
+                        model, self.mesh, apply_fn=_quantized_apply_fn())
                 self._note_path(("int8" if quantized else "float")
                                 + "+sharded")
                 return self._fns[key](params, state, x)
@@ -309,15 +319,10 @@ class ServeState:
                     )
                     scale = MODEL_CFG.get(
                         which.split(":")[0], {}).get("scale", 1)
-                    qapply = self._fns.get(("qapply", which))
-                    apply_fn = None
-                    if qapply is not None:
-                        def apply_fn(p, s, t, _q=qapply):
-                            return _q(t)
                     self._fns[key] = tiled_apply_single_device(
                         model, params, state,
                         tile_h=self.tile_threshold_rows, halo=32,
-                        scale=scale, apply_fn=apply_fn)
+                        scale=scale, apply_fn=_quantized_apply_fn())
                 self._note_path(("int8" if quantized else "float")
                                 + "+tiled")
                 return self._fns[key](x)

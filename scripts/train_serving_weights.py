@@ -338,6 +338,13 @@ def qat_finetune(args) -> None:
     28k-step checkpoint's residual trunk outgrew 8 bits, failing the
     all-int8 program's 40 dB gate; a short QAT fine-tune restores it."""
     family = args.family
+    if family not in ("denoise", "dncnn", "esrgan"):
+        # the QAT loss assumes a same-resolution image->image generator with
+        # an apply(params, state, x) signature; srgan (x4 LR->HR) and cgan
+        # (latent/cond inputs) would crash deep inside tracing instead
+        raise SystemExit(
+            "--qat-steps supports denoise/dncnn/esrgan (same-resolution "
+            f"image-to-image generators), not {family!r}")
     size, batch = args.size, args.batch
     gen, _ = build_models(family, size)
     src = args.init_from or os.path.join(args.out, family)

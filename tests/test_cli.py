@@ -455,3 +455,24 @@ def test_train_cli_from_reference_pt_cache(tmp_path):
     ])
     assert rc == 0
     assert os.path.isdir(tmp_path / "ckpt" / "esrgan_epoch_0")
+
+
+def test_qat_finetune_rejects_non_image_to_image_families(tmp_path):
+    """--qat-steps supports only same-resolution image->image generators;
+    srgan (x4) / cgan (latent+cond signature) must be rejected loudly at
+    entry instead of crashing deep inside tracing (self-review r4)."""
+    import importlib.util
+    import types
+
+    spec = importlib.util.spec_from_file_location(
+        "train_serving_weights",
+        os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                     "train_serving_weights.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for family in ("srgan", "cgan"):
+        args = types.SimpleNamespace(family=family, size=32, batch=2,
+                                     qat_steps=10, init_from=None,
+                                     out=str(tmp_path))
+        with pytest.raises(SystemExit, match="qat-steps supports"):
+            mod.qat_finetune(args)

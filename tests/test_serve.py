@@ -881,9 +881,14 @@ def test_healthz_and_stats_routes(server):
     assert status == 200
     status, _ = _post(server + "/enhance?model=not-a-model", body, ctype)
     assert status == 400
+    # routing lowercases the model before validating, so stats must key the
+    # canonical name — a mixed-case request must NOT mint its own series
+    status, _ = _post(server + "/enhance?model=DeNoIsE", body, ctype)
+    assert status == 200
     with urllib.request.urlopen(server + "/stats") as r:
         s = json.loads(r.read())
-    assert s["requests"].get("denoise", 0) >= 1
+    assert s["requests"].get("denoise", 0) >= 2
+    assert not any(k.lower() != k for k in s["requests"])
     assert s["latency"]["denoise"]["p50_ms"] > 0
     assert s["latency"]["denoise"]["window"] >= 1
     assert any(k.startswith("not-a-model:400") for k in s["errors"])
