@@ -83,7 +83,9 @@ def save_pth(module: Module, params, state, path: str,
     """Write a torch-loadable .pth with the reference's dict layout."""
     import torch
 
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+    # copy=True: jax.device_get arrays can be non-writable views, which
+    # torch.from_numpy warns about (undefined behavior if written)
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
           for k, v in export_torch_state_dict(module, params, state).items()}
     torch.save({key: sd}, path)
 

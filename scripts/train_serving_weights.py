@@ -353,6 +353,10 @@ def qat_finetune(args) -> None:
         raise SystemExit(f"--qat-steps needs an existing checkpoint at {src}")
     gp = sections["generator"]
     gs = sections.get("generator_state")
+    if gs is None:
+        # state-less checkpoints (denoise/dncnn: no BN) save no state
+        # section; apply() still needs the (empty) state tree
+        _, gs = gen.init(prng.key(0))
     print(f"[{family}-qat] fine-tuning from {src} "
           f"({src_meta.get('steps', '?')} steps, "
           f"gain {src_meta.get('gain_db', '?')} dB)")

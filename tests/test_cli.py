@@ -476,3 +476,53 @@ def test_qat_finetune_rejects_non_image_to_image_families(tmp_path):
                                      out=str(tmp_path))
         with pytest.raises(SystemExit, match="qat-steps supports"):
             mod.qat_finetune(args)
+
+
+def test_qat_finetune_end_to_end_ship_and_refuse(tmp_path, capsys):
+    """Drives scripts/train_serving_weights.py --qat-steps through its whole
+    path (checkpoint load -> fake-quant lax.scan fine-tune -> held-out eval
+    -> ship guard -> save): a gentle fine-tune ships with QAT provenance in
+    meta.json, and a destructive one trips the REFUSING-to-ship gate instead
+    of silently overwriting the checkpoint (the guard protecting shipped
+    quality, kernel_notes.md r4 QAT section)."""
+    import importlib.util
+    import json
+    import shutil
+
+    spec = importlib.util.spec_from_file_location(
+        "train_serving_weights_e2e",
+        os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                     "train_serving_weights.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # a meta-doctored copy of the shipped denoise checkpoint: held-out eval
+    # runs at the recorded size, so size=32 keeps the CPU cost tiny, and a
+    # modest recorded gain gives the 0.85x ship guard a real bar to clear
+    src = tmp_path / "init" / "denoise"
+    src.parent.mkdir()
+    shutil.copytree("weights/denoise", src)
+    meta = json.loads((src / "meta.json").read_text())
+    meta.update(size=32, gain_db=1.0)
+    (src / "meta.json").write_text(json.dumps(meta))
+
+    out = tmp_path / "out"
+    rc = mod.main([
+        "--family", "denoise", "--qat-steps", "2", "--chunk", "2",
+        "--batch", "2", "--size", "32", "--qat-lr", "1e-7",
+        "--init-from", str(src), "--out", str(out)])
+    assert rc == 0
+    shipped = json.loads((out / "denoise" / "meta.json").read_text())
+    assert shipped["qat_steps"] == 2 and shipped["qat_lr"] == 1e-7
+    assert shipped["gain_db"] > 0.85  # cleared the guard with real margin
+    assert (out / "denoise" / "arrays.npz").exists()
+
+    # destructive fine-tune (lr=10 for 2 steps wrecks the generator): the
+    # guard must refuse, and the previously shipped output must survive
+    before = (out / "denoise" / "arrays.npz").read_bytes()
+    with pytest.raises(SystemExit, match="REFUSING to ship"):
+        mod.main([
+            "--family", "denoise", "--qat-steps", "2", "--chunk", "2",
+            "--batch", "2", "--size", "32", "--qat-lr", "10.0",
+            "--init-from", str(src), "--out", str(out)])
+    assert (out / "denoise" / "arrays.npz").read_bytes() == before
