@@ -75,6 +75,8 @@ def main():
             model, params, state, calib, quant_last=False))),
         ("s8skip+last", mk(quantize_apply_denoise_unet(
             model, params, state, calib))),
+        ("s8skip+split", mk(quantize_apply_denoise_unet(
+            model, params, state, calib, split_concat=True))),
     ]
 
     x_shape = (args.batch, 128, 128, 3)

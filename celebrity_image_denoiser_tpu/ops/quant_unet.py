@@ -82,12 +82,31 @@ def _maxpool_s8(x):
                              (1, 2, 2, 1), "VALID")
 
 
+def _conv_i32(x_s8, w_i8):
+    return lax.conv_general_dilated(
+        x_s8, w_i8, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=_DN, preferred_element_type=jnp.int32)
+
+
 def quantize_apply_denoise_unet(model, params, state, calib_x,
-                                quant_last: bool = True):
+                                quant_last: bool = True,
+                                split_concat: bool = False):
     """Build the s8 skip-storage int8 eval forward for a DenoiseGenerator.
 
     ``quant_last=False`` keeps the 64→3 tail conv on the float path (the
     ablation benchmarks/s8_skip_probe.py measures: 19,382 vs 19,798 imgs/s).
+
+    ``split_concat=True`` — kept as a REJECTED-by-receipt experiment — runs
+    each decoder conv as two half-input convs (``conv(concat(a, b), W) ==
+    conv(a, W[:,:,:Ca]) + conv(b, W[:,:,Ca:])``, exact in i32) with the
+    first partial stored s8 at a calibrated per-out-channel scale, to
+    delete the concat buffers.  The on-chip cost receipt (kernel_notes.md
+    r4 "split-concat") shows XLA ALREADY elides the s8 concats — producers
+    write straight into slices of the consumer's input buffer — so the
+    split's partial round-trips are pure added traffic: 44.36 GB/step vs
+    37.92 for plain s8-skip+last, at −0.1 dB agreement.  Not a serving
+    rung; exercised by benchmarks/s8_skip_probe.py and a CPU agreement
+    test so the receipt stays reproducible.
 
     Raises ``ValueError`` if the traced conv sequence doesn't match the
     12-conv U-Net topology (callers fall back to the generic transform —
@@ -159,8 +178,8 @@ def quantize_apply_denoise_unet(model, params, state, calib_x,
     W11 = jnp.asarray(p["upconv1"]["2"]["kernel"], jnp.bfloat16)
     relu = jax.nn.relu
 
-    def qapply(x):
-        in_dtype = x.dtype
+    def _to_first_concat(x):
+        """Encoder + bottleneck + up2: everything before decoder conv 7."""
         h = relu(_conv_f(x.astype(jnp.bfloat16), W0, b[0]))
         h = _q(h, s[1])                                  # → conv0 epilogue s8
         e1 = _q(relu(_conv_q(h, *W[1], b[1])), s_e1)     # e1 stored s8
@@ -171,13 +190,69 @@ def quantize_apply_denoise_unet(model, params, state, calib_x,
         d2a = _q(_convt_q(bo, *W[6], b[6]), s[7][:128])
         if d2a.shape[1:3] != e2.shape[1:3]:              # skip-crop quirk
             e2 = e2[:, : d2a.shape[1], : d2a.shape[2], :]
-        h = _q(relu(_conv_q(jnp.concatenate([d2a, e2], -1), *W[7], b[7])),
-               s[8])
-        d2 = _q(relu(_conv_q(h, *W[8], b[8])), s[9])
+        return d2a, e2, e1
+
+    def _conv7_concat(d2a, e2):
+        return _q(relu(_conv_q(jnp.concatenate([d2a, e2], -1), *W[7], b[7])),
+                  s[8])
+
+    def _mid(h7, e1):
+        """Decoder conv 8 + up1: between the two concat consumers."""
+        d2 = _q(relu(_conv_q(h7, *W[8], b[8])), s[9])
         d1a = _q(_convt_q(d2, *W[9], b[9]), s[10][:64])
         if d1a.shape[1:3] != e1.shape[1:3]:              # skip-crop quirk
             e1 = e1[:, : d1a.shape[1], : d1a.shape[2], :]
-        h = relu(_conv_q(jnp.concatenate([d1a, e1], -1), *W[10], b[10]))
+        return d1a, e1
+
+    if split_concat:
+        w7, ws7 = W[7]
+        w10, ws10 = W[10]
+
+        def _partial_stats(x):
+            # per-out-channel amax of each first-half partial sum, measured
+            # on the concat-exact path (the split path differs from it only
+            # by the rounding these scales introduce)
+            d2a, e2, e1 = _to_first_concat(x)
+            pa7 = _conv_i32(d2a, w7[:, :, :128, :]).astype(jnp.float32) * ws7
+            d1a, _ = _mid(_conv7_concat(d2a, e2), e1)
+            pa10 = (_conv_i32(d1a, w10[:, :, :64, :]).astype(jnp.float32)
+                    * ws10)
+            return (jnp.max(jnp.abs(pa7), axis=(0, 1, 2)),
+                    jnp.max(jnp.abs(pa10), axis=(0, 1, 2)))
+
+        a7, a10 = jax.jit(_partial_stats)(calib_x)
+
+        def _pscale(amax_c):
+            return jnp.maximum(
+                jnp.maximum(amax_c, 0.01 * jnp.max(amax_c)), 1e-12) / 127.0
+
+        sA7, sA10 = _pscale(a7), _pscale(a10)
+
+        def _split(a_s8, b_s8, w_i8, w_scale, sA, bias):
+            # conv(concat(a,b), W) = conv(a, W[:Ca]) + conv(b, W[Ca:]),
+            # exact in i32; the first partial round-trips HBM s8 at the
+            # calibrated scale, the second conv's epilogue adds it back
+            ca = a_s8.shape[-1]
+            pA = (_conv_i32(a_s8, w_i8[:, :, :ca, :]).astype(jnp.float32)
+                  * w_scale)
+            qA = _q(pA, sA)
+            pB = (_conv_i32(b_s8, w_i8[:, :, ca:, :]).astype(jnp.float32)
+                  * w_scale)
+            return ((pB + qA.astype(jnp.float32) * sA)
+                    .astype(jnp.bfloat16) + bias)
+
+    def qapply(x):
+        in_dtype = x.dtype
+        d2a, e2, e1 = _to_first_concat(x)
+        if split_concat:
+            h7 = _q(relu(_split(d2a, e2, w7, ws7, sA7, b[7])), s[8])
+        else:
+            h7 = _conv7_concat(d2a, e2)
+        d1a, e1 = _mid(h7, e1)
+        if split_concat:
+            h = relu(_split(d1a, e1, w10, ws10, sA10, b[10]))
+        else:
+            h = relu(_conv_q(jnp.concatenate([d1a, e1], -1), *W[10], b[10]))
         if quant_last:
             y = _conv_q(_q(h, s[11]), *W[11], b[11])
         else:
