@@ -83,6 +83,37 @@ def test_s8_skip_forward_agrees_with_float():
     assert agree_skip > agree_gen - 3.0, (agree_skip, agree_gen)
 
 
+def test_s8_skip_split_concat_variant_agrees():
+    """The receipt-REJECTED split-concat variant (quant_unet split_concat=
+    True — kernel_notes.md r4: XLA already elides the s8 concats, so the
+    split's partial round-trips ADD 6.4 GB/step) stays numerically sound:
+    this keeps the rejection receipt reproducible by construction.  The
+    one extra rounding (the s8-stored first-half partial) costs ~0.1 dB."""
+    from celebrity_image_denoiser_tpu.ops.quant_unet import (
+        quantize_apply_denoise_unet,
+    )
+
+    model = models.DenoiseGenerator()
+    params, state = model.init(prng.key(0))
+    rng = np.random.default_rng(5)
+    calib = jnp.asarray(rng.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32))
+    qskip = quantize_apply_denoise_unet(model, params, state, calib)
+    qsplit = quantize_apply_denoise_unet(model, params, state, calib,
+                                         split_concat=True)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    yf = np.asarray(model.apply(params, state, x, train=False)[0])
+    ys = np.asarray(jax.jit(qskip)(x), np.float32)
+    yp = np.asarray(jax.jit(qsplit)(x), np.float32)
+
+    def db(a, b):
+        return 10 * np.log10(4.0 / max(float(np.mean((a - b) ** 2)), 1e-12))
+
+    assert db(yp, yf) > 40.0, f"split agreement only {db(yp, yf):.1f} dB"
+    # the split tracks the plain s8-skip far more tightly than either
+    # tracks float (only the partial rounding separates them)
+    assert db(yp, ys) > db(ys, yf), (db(yp, ys), db(ys, yf))
+
+
 def test_s8_skip_forward_odd_sizes_preserve_crop_quirk():
     """Odd spatial sizes trigger the reference's skip-crop (app.py:90-99);
     the s8 forward crops the stored-s8 skips at trace time and matches the
