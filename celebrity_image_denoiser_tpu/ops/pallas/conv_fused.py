@@ -174,7 +174,7 @@ def conv3x3_bias_relu(
         out_shape=jax.ShapeDtypeStruct((n, h, w, cout), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM; DMA'd
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM; DMA'd
             pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda i: (0, 0),
