@@ -48,11 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference-parity pipeline)")
     p.add_argument("--tensor-cache", default=None,
                    help="train from a prebuilt tensor-pair cache dir: the "
-                        "native npz cache (data.caching.build_tensor_cache) "
-                        "or the reference's Pre_dataset .pt tree "
+                        "native npz cache (data.caching.build_tensor_cache), "
+                        "the reference's Pre_dataset .pt tree "
                         "(<dir>/<noise>/{noisy,clean}_tensor/*.pt, "
-                        "esrgan_train.py:18-36), detected by layout; "
-                        "implies --no-on-the-fly")
+                        "esrgan_train.py:18-36), or the reference's cGAN "
+                        "tf.data cache (tf.data.Dataset.save layout, "
+                        "DataP2.py:107; needs tensorflow installed) — "
+                        "detected by layout; implies --no-on-the-fly")
     p.add_argument("--tensor-cache-domain", default=None,
                    choices=["unit", "tanh"],
                    help="numeric domain of a --tensor-cache: 'unit' = [0,1], "

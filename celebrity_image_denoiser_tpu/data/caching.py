@@ -258,12 +258,73 @@ class TorchTensorPairDataset:
             return None
 
 
+class TFDataCacheDataset:
+    """Reads the reference's actual cGAN ``tf.data`` cache.
+
+    ``DataP2.py:92-108`` builds the cGAN training cache as
+    ``from_generator → shuffle(5000) → tf.data.Dataset.save(cache_dir)``;
+    the trainer reloads it with ``tf.data.Dataset.load``
+    (training5Pbar.py:230-235) and then materializes the whole dataset in
+    RAM anyway (``list(dataset)``, training5Pbar.py:133).  This reader does
+    the same: one ``Dataset.load`` pass at construction, elements held as
+    numpy (noisy, clean) HWC float32 pairs, no live TF session per step.
+
+    TF is imported lazily and only here — the framework itself stays
+    TF-free; without tensorflow installed this reader raises with a clear
+    message and every other cache flavor keeps working.
+    """
+
+    # the DataP2 preprocessing pins the domain by construction:
+    # (x - 127.5) / 127.5 → [-1, 1]  (DataP2.py:21-22)
+    normalized = True
+    domain_recorded = True
+
+    def __init__(self, path: str):
+        try:
+            import tensorflow as tf  # noqa: PLC0415 — optional, reader-only
+        except ImportError as e:
+            raise RuntimeError(
+                f"{path} is a tf.data cache (tf.data.Dataset.save layout); "
+                "reading it requires tensorflow, which is not installed. "
+                "Rebuild the cache with build_tensor_cache, or install TF."
+            ) from e
+        self.items: List[Tuple[np.ndarray, np.ndarray]] = []
+        for element in tf.data.Dataset.load(path):
+            if not (isinstance(element, tuple) and len(element) == 2):
+                raise ValueError(
+                    f"{path}: expected (noisy, clean) element pairs, got "
+                    f"{type(element).__name__} — not a DataP2-style cache")
+            n, c = element
+            self.items.append((np.asarray(n, np.float32),
+                               np.asarray(c, np.float32)))
+        if not self.items:
+            raise ValueError(f"tf.data cache at {path} is empty")
+        logger.info("loaded %d pairs from tf.data cache %s",
+                    len(self.items), path)
+
+    @staticmethod
+    def is_tf_data_cache(path: str) -> bool:
+        """A ``tf.data.Dataset.save`` directory always carries these two
+        top-level files (any TF 2.x snapshot version)."""
+        return (os.path.isfile(os.path.join(path, "dataset_spec.pb"))
+                and os.path.isfile(os.path.join(path, "snapshot.metadata")))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx: int):
+        return self.items[idx]
+
+
 def open_tensor_cache(path: str):
-    """Open either cache flavor by layout: the native npz cache
-    (``<dir>/pairs/*.npz``, TensorPairDataset) or the reference's ``.pt``
-    tree (TorchTensorPairDataset)."""
+    """Open any cache flavor by layout: the native npz cache
+    (``<dir>/pairs/*.npz``, TensorPairDataset), the reference's ESRGAN
+    ``.pt`` tree (TorchTensorPairDataset), or the reference's cGAN
+    ``tf.data`` cache (TFDataCacheDataset)."""
     if os.path.isdir(os.path.join(path, "pairs")):
         return TensorPairDataset(path)
+    if TFDataCacheDataset.is_tf_data_cache(path):
+        return TFDataCacheDataset(path)
     return TorchTensorPairDataset(path)
 
 

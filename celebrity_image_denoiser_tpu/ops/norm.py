@@ -30,9 +30,12 @@ def batch_norm(
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """params: {scale, bias}; state: {mean, var}. Normalizes over (N, H, W).
 
-    In train mode uses batch statistics and returns updated running stats
-    (biased variance in the normalizer, unbiased in the running update, as
-    torch does).  In eval mode uses the running stats unchanged.
+    In train mode uses batch statistics and returns updated running stats.
+    The normalizer always uses the biased batch variance; the running-var
+    update is unbiased (Bessel-corrected) in the torch convention but biased
+    in the Keras one — Keras 3 feeds ``moving_variance`` the same biased
+    variance it normalizes with (golden-tested against real Keras in
+    tests/test_tf_golden.py).  In eval mode uses the running stats unchanged.
     """
     scale, bias = params["scale"], params["bias"]
     if train:
@@ -43,7 +46,7 @@ def batch_norm(
         unbiased = var * (n / max(n - 1, 1))
         if keras_momentum:
             new_mean = momentum * state["mean"] + (1.0 - momentum) * mean
-            new_var = momentum * state["var"] + (1.0 - momentum) * unbiased
+            new_var = momentum * state["var"] + (1.0 - momentum) * var
         else:
             new_mean = (1.0 - momentum) * state["mean"] + momentum * mean
             new_var = (1.0 - momentum) * state["var"] + momentum * unbiased

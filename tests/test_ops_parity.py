@@ -129,7 +129,9 @@ def test_batch_norm_matches_torch(rng_np, train):
 
 def test_batch_norm_keras_convention(rng_np):
     """Keras BN: eps 1e-3, momentum 0.99 with running = m*run + (1-m)*batch
-    (flipped vs torch) — checked against a manual numpy computation."""
+    (flipped vs torch), and the running-var update uses the BIASED batch
+    variance (unlike torch) — checked against a manual numpy computation
+    here and against real Keras 3 in tests/test_tf_golden.py."""
     from celebrity_image_denoiser_tpu import ops
 
     c = 4
@@ -148,12 +150,10 @@ def test_batch_norm_keras_convention(rng_np):
     bv = x.var(axis=(0, 1, 2))
     np.testing.assert_allclose(
         np.asarray(got), (x - bm) / np.sqrt(bv + 1e-3), rtol=1e-4, atol=1e-5)
-    n = x.size // c
-    unbiased = bv * n / (n - 1)
     np.testing.assert_allclose(np.asarray(new_state["mean"]),
                                0.99 * run_mean + 0.01 * bm, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(new_state["var"]),
-                               0.99 * run_var + 0.01 * unbiased, rtol=1e-5)
+                               0.99 * run_var + 0.01 * bv, rtol=1e-5)
 
 
 def test_leaky_relu_and_prelu(rng_np):
