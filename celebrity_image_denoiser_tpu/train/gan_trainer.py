@@ -108,8 +108,14 @@ def make_train_step(
     if family == "srgan" and perceptual is None:
         raise ValueError("srgan family needs a perceptual loss (make_vgg_perceptual)")
 
-    _, adam_update = optim.adam(adam_b1, adam_b2)
-    adam_init, _ = optim.adam(adam_b1, adam_b2)
+    # the reference trains the torch families with torch Adam and the cGAN
+    # with tf.keras Adam (training5Pbar.py:166-167) — the two conventions
+    # differ in where eps lands (corrected vs uncorrected sqrt(v)) and its
+    # default (1e-8 vs 1e-7); both are golden-tested (test_train.py /
+    # test_tf_golden.py)
+    _adam = optim.adam_keras if family == "cgan" else optim.adam
+    _, adam_update = _adam(adam_b1, adam_b2)
+    adam_init, _ = _adam(adam_b1, adam_b2)
 
     # mixed precision (compute_dtype="bfloat16"): model fwd/bwd run in bf16
     # with f32 MXU accumulation (nn layers cast kernels to the input dtype);
@@ -220,13 +226,19 @@ def make_train_step(
             # joint update: G grads against the PRE-update discriminator
             def g_loss_fn(gp):
                 fake, gs = g_fwd(gp, g_state, noisy)
-                fake_pred, ds = d_apply(d_params, d_state_after_d,
-                                        fake, train=True)
+                fake_pred, _ = d_apply(d_params, d_state_after_d,
+                                       fake, train=True)
                 gl = d_crit(fake_pred, 1.0) + cgan_mae_weight * content_loss(fake, clean)
-                return gl, (gs, ds, fake)
+                return gl, (gs, fake)
 
-            (g_loss, (g_state_new, d_state_new, fake)), g_grads = jax.value_and_grad(
+            (g_loss, (g_state_new, fake)), g_grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True)(g_params)
+            # the reference's single tape set forwards D exactly twice (real,
+            # fake — training5Pbar.py:82-85), so its BN moving stats see two
+            # updates per step; the extra D forward above exists only for
+            # G's gradient and its state is discarded (one-step golden vs
+            # real TF: test_tf_golden.py::test_cgan_train_step_matches_real_tf)
+            d_state_new = d_state_after_d
             d_params_new, d_opt_new = adam_update(d_grads, d_opt, d_params, lr_d)
             g_params_new, g_opt_new = adam_update(g_grads, g_opt, g_params, lr_g)
         else:

@@ -56,6 +56,36 @@ def adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
     return init, update
 
 
+def adam_keras(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-7):
+    """Keras-convention Adam — the optimizer the reference's cGAN trainer
+    actually uses (``tf.keras.optimizers.Adam(1e-4)``, training5Pbar.py:
+    166-167).  Same moment updates as torch, but the step applies
+    ``alpha = lr * sqrt(1 - b2^t) / (1 - b1^t)`` and adds eps to the
+    UNCORRECTED ``sqrt(v)`` (keras/src/optimizers/adam.py), with default
+    eps 1e-7 (torch: 1e-8 on the corrected ``sqrt(v_hat)``).  Golden-tested
+    against real ``keras.optimizers.Adam`` in tests/test_tf_golden.py."""
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return AdamState(step=jnp.zeros((), jnp.int32), mu=zeros,
+                         nu=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state: AdamState, params, lr):
+        step = state.step + 1
+        t = step.astype(jnp.float32)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * (g * g), state.nu, grads)
+        alpha = lr * jnp.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+
+        def upd(p, m, v):
+            return p - alpha * m / (jnp.sqrt(v) + eps)
+
+        new_params = jax.tree.map(upd, params, mu, nu)
+        return new_params, AdamState(step=step, mu=mu, nu=nu)
+
+    return init, update
+
+
 def sgd(momentum: float = 0.0):
     def init(params):
         if momentum == 0.0:

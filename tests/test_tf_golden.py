@@ -32,6 +32,7 @@ import pytest
 tf = pytest.importorskip("tensorflow")
 keras = pytest.importorskip("keras")
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from celebrity_image_denoiser_tpu import metrics, models, ops  # noqa: E402
@@ -109,6 +110,152 @@ def test_keras_cgan_import_matches_real_keras_predict(rng_np):
     ref = km.predict(x, verbose=0)
     got, _ = om.apply(params, state, jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+
+
+def test_adam_keras_matches_real_keras(rng_np):
+    """optim.adam_keras vs keras.optimizers.Adam(1e-3), 5 steps on a
+    quadratic — keras puts eps on the UNCORRECTED sqrt(v) with default 1e-7
+    (different from torch's corrected-v̂ + 1e-8, golden-tested separately
+    in test_train.py::test_adam_matches_torch)."""
+    from celebrity_image_denoiser_tpu.train import optim
+
+    w0 = rng_np.standard_normal(16).astype(np.float32)
+    var = tf.Variable(w0.copy())
+    opt = keras.optimizers.Adam(learning_rate=1e-3)
+    for _ in range(5):
+        with tf.GradientTape() as tape:
+            loss = tf.reduce_sum(tf.sin(var) + 0.5 * var * var)
+        g = tape.gradient(loss, [var])
+        opt.apply_gradients(zip(g, [var]))
+
+    init, update = optim.adam_keras()
+    params = {"w": jnp.asarray(w0)}
+    state = init(params)
+    grad_fn = jax.grad(lambda p: jnp.sum(jnp.sin(p["w"]) + 0.5 * p["w"] ** 2))
+    for _ in range(5):
+        params, state = update(grad_fn(params), state, params, 1e-3)
+    np.testing.assert_allclose(np.asarray(params["w"]), var.numpy(), atol=1e-6)
+
+
+def _build_keras_cgan_pair(hw):
+    """The reference's build_generator/build_discriminator
+    (training5Pbar.py:16-54) at a reduced input size."""
+    from keras import layers
+
+    g = keras.Sequential()
+    g.add(layers.Input(shape=(hw, hw, 3)))
+    g.add(layers.Conv2D(64, 4, strides=2, padding="same"))
+    g.add(layers.LeakyReLU(negative_slope=0.2))
+    g.add(layers.Conv2D(128, 4, strides=2, padding="same"))
+    g.add(layers.BatchNormalization())
+    g.add(layers.LeakyReLU(negative_slope=0.2))
+    g.add(layers.Conv2DTranspose(128, 4, strides=2, padding="same"))
+    g.add(layers.BatchNormalization())
+    g.add(layers.LeakyReLU(negative_slope=0.2))
+    g.add(layers.Conv2DTranspose(64, 4, strides=2, padding="same"))
+    g.add(layers.BatchNormalization())
+    g.add(layers.LeakyReLU(negative_slope=0.2))
+    g.add(layers.Conv2D(3, 3, padding="same", activation="tanh"))
+
+    d = keras.Sequential()
+    d.add(layers.Input(shape=(hw, hw, 3)))
+    d.add(layers.Conv2D(64, 4, strides=2, padding="same"))
+    d.add(layers.LeakyReLU(negative_slope=0.2))
+    d.add(layers.Conv2D(128, 4, strides=2, padding="same"))
+    d.add(layers.BatchNormalization())
+    d.add(layers.LeakyReLU(negative_slope=0.2))
+    d.add(layers.Conv2D(256, 4, strides=2, padding="same"))
+    d.add(layers.BatchNormalization())
+    d.add(layers.LeakyReLU(negative_slope=0.2))
+    d.add(layers.Flatten())
+    d.add(layers.Dense(1, activation="sigmoid"))
+    return g, d
+
+
+def _copy_cgan_weights(kg, kd, g_params, g_state, d_params, d_state):
+    a = np.asarray
+    seq, st = g_params["model"], g_state["model"]
+    for i in ("0", "2", "5", "8", "11"):
+        kg.layers[int(i)].set_weights([a(seq[i]["kernel"]), a(seq[i]["bias"])])
+    for i in ("3", "6", "9"):
+        kg.layers[int(i)].set_weights([a(seq[i]["scale"]), a(seq[i]["bias"]),
+                                       a(st[i]["mean"]), a(st[i]["var"])])
+    f, fs = d_params["features"], d_state["features"]
+    for i in ("0", "2", "5"):
+        kd.layers[int(i)].set_weights([a(f[i]["kernel"]), a(f[i]["bias"])])
+    for i in ("3", "6"):
+        kd.layers[int(i)].set_weights([a(f[i]["scale"]), a(f[i]["bias"]),
+                                       a(fs[i]["mean"]), a(fs[i]["var"])])
+    kd.layers[9].set_weights([a(d_params["dense"]["kernel"]),
+                              a(d_params["dense"]["bias"])])
+
+
+def test_cgan_train_step_matches_real_tf(rng_np):
+    """ONE full cGAN train step vs a real-TF replication of the reference's
+    train_step (training5Pbar.py:77-97: joint tapes, BCE + 100·MAE, Keras
+    Adam 1e-4): g_loss, d_loss, every updated weight, and every BN moving
+    statistic must agree.  The BN-stat tolerance is strict (1e-6) — it is
+    what catches a wrong state-threading (the reference forwards D exactly
+    twice per step) or a Bessel-corrected moving variance."""
+    from celebrity_image_denoiser_tpu.core import prng as cid_prng
+    from celebrity_image_denoiser_tpu.train.gan_trainer import make_train_step
+
+    hw = 32
+    g = models.CGANKerasGenerator()
+    d = models.CGANKerasDiscriminator(input_hw=(hw, hw))
+    init_fn, step_fn = make_train_step(g, d, family="cgan", donate=False)
+    carry = init_fn(cid_prng.key(0))
+    g_params, g_state, d_params, d_state = carry[0], carry[1], carry[2], carry[3]
+
+    kg, kd = _build_keras_cgan_pair(hw)
+    _copy_cgan_weights(kg, kd, g_params, g_state, d_params, d_state)
+
+    clean = rng_np.uniform(-1, 1, (4, hw, hw, 3)).astype(np.float32)
+    noisy = np.clip(clean + rng_np.normal(0, 0.15, clean.shape),
+                    -1, 1).astype(np.float32)
+
+    # the reference step, in real TF (training5Pbar.py:77-97)
+    bce = keras.losses.BinaryCrossentropy(from_logits=False)
+    mae = keras.losses.MeanAbsoluteError()
+    g_opt = keras.optimizers.Adam(1e-4)
+    d_opt = keras.optimizers.Adam(1e-4)
+    with tf.GradientTape() as gt, tf.GradientTape() as dt:
+        fake = kg(tf.constant(noisy), training=True)
+        real_out = kd(tf.constant(clean), training=True)
+        fake_out = kd(fake, training=True)
+        g_loss_tf = bce(tf.ones_like(fake_out), fake_out) + 100.0 * mae(fake, clean)
+        d_loss_tf = (bce(tf.ones_like(real_out), real_out)
+                     + bce(tf.zeros_like(fake_out), fake_out))
+    g_opt.apply_gradients(zip(gt.gradient(g_loss_tf, kg.trainable_variables),
+                              kg.trainable_variables))
+    d_opt.apply_gradients(zip(dt.gradient(d_loss_tf, kd.trainable_variables),
+                              kd.trainable_variables))
+
+    carry2, out = step_fn(carry, jnp.asarray(noisy), jnp.asarray(clean),
+                          cid_prng.key(1), 1e-4, 1e-4)
+    np.testing.assert_allclose(float(out["g_loss"]), float(g_loss_tf), rtol=1e-5)
+    np.testing.assert_allclose(float(out["d_loss"]), float(d_loss_tf), rtol=1e-4)
+
+    g2, gs2, d2, ds2 = carry2[0], carry2[1], carry2[2], carry2[3]
+    a = np.asarray
+    for i in ("0", "2", "5", "8", "11"):
+        w = kg.layers[int(i)].get_weights()
+        np.testing.assert_allclose(a(g2["model"][i]["kernel"]), w[0], atol=1.5e-4)
+        np.testing.assert_allclose(a(g2["model"][i]["bias"]), w[1], atol=1.5e-4)
+    for i in ("3", "6", "9"):
+        w = kg.layers[int(i)].get_weights()
+        np.testing.assert_allclose(a(g2["model"][i]["scale"]), w[0], atol=1.5e-4)
+        np.testing.assert_allclose(a(gs2["model"][i]["mean"]), w[2], atol=1e-6)
+        np.testing.assert_allclose(a(gs2["model"][i]["var"]), w[3], atol=1e-6)
+    for i in ("0", "2", "5"):
+        w = kd.layers[int(i)].get_weights()
+        np.testing.assert_allclose(a(d2["features"][i]["kernel"]), w[0], atol=1.5e-4)
+    for i in ("3", "6"):
+        w = kd.layers[int(i)].get_weights()
+        np.testing.assert_allclose(a(ds2["features"][i]["mean"]), w[2], atol=1e-6)
+        np.testing.assert_allclose(a(ds2["features"][i]["var"]), w[3], atol=1e-6)
+    w = kd.layers[9].get_weights()
+    np.testing.assert_allclose(a(d2["dense"]["kernel"]), w[0], atol=1.5e-4)
 
 
 def test_tf_data_cache_reader_roundtrip(rng_np, tmp_path):
