@@ -151,15 +151,24 @@ def export_keras_cgan(params: Dict[str, Any], state: Dict[str, Any],
                 g.create_dataset("2", data=np.asarray(s["mean"], np.float32))
                 g.create_dataset("3", data=np.asarray(s["var"], np.float32))
 
+    # the module/registered_name/build_config fields are what Keras 3's
+    # loader uses to resolve classes — without them load_model raises
+    # "Could not locate class 'Sequential'" (caught by the real-keras load
+    # golden, tests/test_tf_golden.py::test_keras_export_loads_in_real_keras)
     config = {
+        "module": "keras",
         "class_name": "Sequential",
         "config": {
             "name": "sequential",
             "layers": [
-                {"class_name": cls, "config": {"name": name, **cfg}}
+                {"module": "keras.layers", "class_name": cls,
+                 "config": {"name": name, **cfg}, "registered_name": None}
                 for name, cls, cfg in _KERAS_GEN_LAYERS
             ],
         },
+        "registered_name": None,
+        "build_config": {"input_shape": [None, 256, 256, 3]},
+        "compile_config": {},
     }
     metadata = {"keras_version": "3.0.0", "date_saved": "", "exported_by":
                 "celebrity_image_denoiser_tpu"}

@@ -112,6 +112,26 @@ def test_keras_cgan_import_matches_real_keras_predict(rng_np):
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
 
 
+def test_keras_export_loads_in_real_keras(rng_np, tmp_path):
+    """The exporter's output must be loadable by REAL keras.saving.load_model
+    and predict identically to our forward — the round-trip the exporter
+    exists for (hand a retrained generator back to a reference deployment)."""
+    pytest.importorskip("h5py")
+    from celebrity_image_denoiser_tpu.ckpt.export import export_keras_cgan
+    from celebrity_image_denoiser_tpu.core import prng as cid_prng
+
+    om = models.CGANKerasGenerator()
+    params, state = om.init(cid_prng.key(5))
+    path = str(tmp_path / "exported.keras")
+    export_keras_cgan(params, state, path)
+
+    km = keras.saving.load_model(path, compile=False)
+    x = rng_np.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    ref = km.predict(x, verbose=0)
+    got, _ = om.apply(params, state, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+
+
 def test_adam_keras_matches_real_keras(rng_np):
     """optim.adam_keras vs keras.optimizers.Adam(1e-3), 5 steps on a
     quadratic — keras puts eps on the UNCORRECTED sqrt(v) with default 1e-7
