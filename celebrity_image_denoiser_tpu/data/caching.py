@@ -114,8 +114,9 @@ def build_tensor_cache(
     """Decode, resize, tensorize each pair to ``<cache>/pairs/NNNNNN.npz``
     with float32 arrays (``noisy``/``clean`` keys), [0,1] domain (the
     ESRGAN convention) or [-1,1] when ``normalize``.  ``resize_method``:
-    "bicubic" (reference default) or "lanczos" (the TF cleanup path,
-    sr_ganpreprocess.py:26-27).  Returns pair count."""
+    "bicubic" (reference default), "lanczos" (the TF cleanup path,
+    sr_ganpreprocess.py:26-27), or "cv2-linear" (the cGAN cache stage's
+    cv2.resize INTER_LINEAR, DataP2.py:19-20).  Returns pair count."""
     pairs, _ = pair_with_report(noisy_dir, clean_dir)
     out_dir = os.path.join(cache_dir, "pairs")
     os.makedirs(out_dir, exist_ok=True)

@@ -21,9 +21,14 @@ def imread_rgb(path_or_bytes, size: Optional[Tuple[int, int]] = None,
                method: str = "bicubic") -> np.ndarray:
     """Decode to uint8 RGB HWC; optional resize to (w, h).  ``method``:
     "bicubic" like the reference's ``Image.open(...).convert('RGB')
-    .resize(size, BICUBIC)`` (noise_generation.py:60-61), or "lanczos"
+    .resize(size, BICUBIC)`` (noise_generation.py:60-61), "lanczos"
     (a=3, PIL LANCZOS) matching the TF cleanup path's lanczos3
-    (sr_ganpreprocess.py:26-27)."""
+    (sr_ganpreprocess.py:26-27), or "cv2-linear" — the cGAN cache stage's
+    ``cv2.resize`` default INTER_LINEAR (DataP2.py:19-20; no antialiasing,
+    unlike every PIL filter).  The cv2 path uses cv2 when importable and
+    otherwise the same-filter device formula via jax-on-numpy
+    (``ops.resize(..., "linear", antialias=False)`` — golden-tested ≤3e-5
+    vs cv2 on [0,255] in tests/test_ops_parity.py)."""
     from PIL import Image
 
     if isinstance(path_or_bytes, (bytes, bytearray)):
@@ -31,6 +36,20 @@ def imread_rgb(path_or_bytes, size: Optional[Tuple[int, int]] = None,
     else:
         img = Image.open(path_or_bytes)
     img = img.convert("RGB")
+    if size is not None and method == "cv2-linear":
+        arr = np.asarray(img, dtype=np.uint8)
+        try:
+            import cv2  # noqa: PLC0415 — optional, this method only
+
+            out = cv2.resize(arr.astype(np.float32), size,
+                             interpolation=cv2.INTER_LINEAR)
+        except ImportError:
+            import jax
+
+            out = np.asarray(jax.image.resize(
+                arr.astype(np.float32), (size[1], size[0], arr.shape[-1]),
+                method="linear", antialias=False))
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
     if size is not None:
         resampling = {"bicubic": Image.Resampling.BICUBIC,
                       "lanczos": Image.Resampling.LANCZOS}[method]

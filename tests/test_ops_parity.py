@@ -227,3 +227,35 @@ def test_lanczos3_resize_matches_pil_and_differs_from_bicubic(rng_np):
     Image.fromarray(img_u8).save(buf, "PNG")
     host = iio.imread_rgb(buf.getvalue(), (16, 16), method="lanczos")
     assert np.abs(host.astype(np.float32) - pil).max() == 0.0
+
+
+def test_linear_resize_matches_cv2(rng_np, tmp_path):
+    """The cGAN cache stage resizes with cv2's default INTER_LINEAR
+    (DataP2.py:19-20).  Both the device op (ops.resize linear,
+    antialias=False) and the host reader (imread_rgb method='cv2-linear')
+    must match real cv2 (same filter; ≤3e-5 float accumulation-order
+    noise on [0,255] data)."""
+    cv2 = pytest.importorskip("cv2")
+    from PIL import Image
+
+    from celebrity_image_denoiser_tpu import ops
+    from celebrity_image_denoiser_tpu.data import imageio
+
+    img = rng_np.uniform(0, 255, (96, 80, 3)).astype(np.float32)
+    for hw in [(256, 256), (48, 40)]:
+        ref = cv2.resize(img, (hw[1], hw[0]), interpolation=cv2.INTER_LINEAR)
+        got = np.asarray(ops.resize(jnp.asarray(img), hw, method="linear",
+                                    antialias=False))
+        np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    # host path through a real encoded file (w, h) PIL-order size
+    img_u8 = img.astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    Image.fromarray(img_u8).save(p)
+    got = imageio.imread_rgb(p, (40, 48), method="cv2-linear")
+    ref = np.clip(np.round(cv2.resize(img_u8.astype(np.float32), (40, 48),
+                                      interpolation=cv2.INTER_LINEAR)),
+                  0, 255).astype(np.uint8)
+    # u8 after rounding: identical up to half-integer ties under 3e-5 noise
+    assert np.abs(got.astype(np.int32) - ref.astype(np.int32)).max() <= 1
+    assert (got != ref).mean() < 0.01
