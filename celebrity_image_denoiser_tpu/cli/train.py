@@ -137,8 +137,9 @@ def main(argv=None) -> int:
         from celebrity_image_denoiser_tpu.data.caching import open_tensor_cache
         from celebrity_image_denoiser_tpu.utils.logging import get_logger
 
-        # accepts the native npz cache OR the reference's Pre_dataset .pt
-        # tree (esrgan_preprocessing.py:12-54), detected by layout
+        # accepts the native npz cache, the reference's Pre_dataset .pt
+        # tree (esrgan_preprocessing.py:12-54), or the reference's cGAN
+        # tf.data cache (DataP2.py:107) — detected by layout
         dataset = open_tensor_cache(args.tensor_cache)
         # numeric-domain guard: tanh families train in [-1,1], esrgan/dncnn
         # in [0,1] (CLAUDE.md conventions); adapt the cached domain or warn

@@ -25,10 +25,11 @@ def imread_rgb(path_or_bytes, size: Optional[Tuple[int, int]] = None,
     (a=3, PIL LANCZOS) matching the TF cleanup path's lanczos3
     (sr_ganpreprocess.py:26-27), or "cv2-linear" — the cGAN cache stage's
     ``cv2.resize`` default INTER_LINEAR (DataP2.py:19-20; no antialiasing,
-    unlike every PIL filter).  The cv2 path uses cv2 when importable and
-    otherwise the same-filter device formula via jax-on-numpy
-    (``ops.resize(..., "linear", antialias=False)`` — golden-tested ≤3e-5
-    vs cv2 on [0,255] in tests/test_ops_parity.py)."""
+    unlike every PIL filter).  With cv2 importable that path is BIT-EXACT
+    (cv2 runs its fixed-point uint8 kernel on the uint8 array, as DataP2
+    does); without cv2 it falls back to the same-filter float formula
+    ``ops.resize(..., "linear", antialias=False)``, within ±1 u8 count
+    (both golden-tested against real cv2 in tests/test_ops_parity.py)."""
     from PIL import Image
 
     if isinstance(path_or_bytes, (bytes, bytearray)):
@@ -41,15 +42,18 @@ def imread_rgb(path_or_bytes, size: Optional[Tuple[int, int]] = None,
         try:
             import cv2  # noqa: PLC0415 — optional, this method only
 
-            out = cv2.resize(arr.astype(np.float32), size,
-                             interpolation=cv2.INTER_LINEAR)
+            # resize the uint8 array DIRECTLY: cv2's uint8 INTER_LINEAR is a
+            # fixed-point kernel, and DataP2.py:19-20 runs it on the uint8
+            # image — a float32 resize + round differs on ~12% of pixels by
+            # ±1 LSB (review receipt, round 4).  This is the exact path.
+            return cv2.resize(arr, size, interpolation=cv2.INTER_LINEAR)
         except ImportError:
-            import jax
+            from celebrity_image_denoiser_tpu import ops
 
-            out = np.asarray(jax.image.resize(
-                arr.astype(np.float32), (size[1], size[0], arr.shape[-1]),
-                method="linear", antialias=False))
-        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+            # same filter, float accumulation: within ±1 u8 count of cv2's
+            # fixed-point result (golden-tested in test_ops_parity.py)
+            return np.asarray(ops.resize(arr, (size[1], size[0]),
+                                         method="linear", antialias=False))
     if size is not None:
         resampling = {"bicubic": Image.Resampling.BICUBIC,
                       "lanczos": Image.Resampling.LANCZOS}[method]

@@ -248,14 +248,19 @@ def test_linear_resize_matches_cv2(rng_np, tmp_path):
                                     antialias=False))
         np.testing.assert_allclose(got, ref, atol=1e-3)
 
-    # host path through a real encoded file (w, h) PIL-order size
+    # host path through a real encoded file (w, h) PIL-order size: must be
+    # BIT-EXACT to the reference's computation — cv2's fixed-point uint8
+    # kernel on the uint8 array (DataP2 resizes the uint8 image directly;
+    # a float32 resize+round differs on ~12% of pixels by ±1 LSB)
     img_u8 = img.astype(np.uint8)
     p = str(tmp_path / "x.png")
     Image.fromarray(img_u8).save(p)
     got = imageio.imread_rgb(p, (40, 48), method="cv2-linear")
-    ref = np.clip(np.round(cv2.resize(img_u8.astype(np.float32), (40, 48),
-                                      interpolation=cv2.INTER_LINEAR)),
-                  0, 255).astype(np.uint8)
-    # u8 after rounding: identical up to half-integer ties under 3e-5 noise
-    assert np.abs(got.astype(np.int32) - ref.astype(np.int32)).max() <= 1
-    assert (got != ref).mean() < 0.01
+    ref = cv2.resize(img_u8, (40, 48), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_array_equal(got, ref)
+
+    # the no-cv2 fallback (ops.resize float path) stays within ±1 u8 count
+    # of the fixed-point result
+    fb = np.asarray(ops.resize(img_u8, (48, 40), method="linear",
+                               antialias=False))
+    assert np.abs(fb.astype(np.int32) - ref.astype(np.int32)).max() <= 1
