@@ -23,8 +23,8 @@ def build_parser():
                         "over all devices (GSPMD, bit-exact) instead of the "
                         "sequential single-device tiler")
     p.add_argument("--tile-threshold-rows", type=int, default=2048,
-                   help="inputs taller than this route through tiled/"
-                        "sharded inference")
+                   help="inputs taller OR wider than this route through "
+                        "tiled/sharded inference")
     p.add_argument("--microbatch-ms", type=float, default=None,
                    help="coalesce concurrent same-shape requests into one "
                         "device batch, waiting up to this many ms (off by "

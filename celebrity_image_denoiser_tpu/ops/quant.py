@@ -383,10 +383,17 @@ def quantized_fraction(model, params, state, calib_x,
     the stride-1 SAME convs these models are made of; strided convs are
     over-counted by the stride factor, which only makes the reported
     quantized fraction conservative since policy-skipped layers here are
-    full-resolution)."""
+    full-resolution).
+
+    The tape pass runs under ``jax.eval_shape`` — taps record kernel/input
+    SHAPES at trace time with zero device compute (an eager pass here costs
+    the same ~400 s ESRGAN-on-CPU stall quantize_apply's jitted calibration
+    exists to avoid; this function only consumes shapes)."""
     calib = _Calibrate()
     with _mode(calib):
-        model.apply(params, state, calib_x, train=False)
+        jax.eval_shape(
+            lambda p, s, x: model.apply(p, s, x, train=False),
+            params, state, calib_x)
     tot = q = 0.0
     for _, kernel, _, spatial in calib.taps:
         f = float(jnp.size(kernel)) * spatial

@@ -155,7 +155,7 @@ def spatial_sharded_apply(
 
 def tiled_apply_single_device(
     model, params, state, *, tile_h: int = 256, halo: int = 32,
-    scale: int = 1, apply_fn=None,
+    scale: int = 1, apply_fn=None, axis: int = 1,
 ):
     """Sequential tiled inference on one device — serving arbitrary-size
     images under a VMEM/HBM budget without multi-chip.
@@ -172,10 +172,18 @@ def tiled_apply_single_device(
     the full image; VERDICT r3 next #7).  Default: ``model.apply`` in eval
     mode.
 
-    Image height and ``tile_h`` must be divisible by 4 (serving pads to the
-    model divisor first, core.config.get_padding)."""
+    ``axis``: 1 tiles the height (default), 2 the width — a very WIDE
+    image needs width tiles, since height tiles would still span the full
+    width.  For images oversized on BOTH axes, pass a width-tiler as this
+    tiler's ``apply_fn`` (the nested python loop traces into the per-H-tile
+    program; serving's both-axes route does exactly that).
+
+    The tiled extent and ``tile_h`` must be divisible by 4 (serving pads to
+    the model divisor first, core.config.get_padding)."""
     if halo % 4 != 0 or tile_h % 4 != 0:
         raise ValueError("halo and tile_h must be divisible by 4")
+    if axis not in (1, 2):
+        raise ValueError(f"axis must be 1 (height) or 2 (width), got {axis}")
     if apply_fn is None:
         def apply_fn(p, s, x):
             y, _ = model.apply(p, s, x, train=False)
@@ -191,14 +199,15 @@ def tiled_apply_single_device(
     def tile_fwd(params, state, x, lo, size, keep_lo, keep_len):
         # dynamic offset + STATIC extent: every interior tile shares one
         # compiled program regardless of its position in the image
-        tile = lax.dynamic_slice_in_dim(x, lo, size, axis=1)
+        tile = lax.dynamic_slice_in_dim(x, lo, size, axis=axis)
         y = apply_fn(params, state, tile)
-        return lax.slice_in_dim(y, keep_lo, keep_lo + keep_len, axis=1)
+        return lax.slice_in_dim(y, keep_lo, keep_lo + keep_len, axis=axis)
 
     def fn(x: jax.Array) -> jax.Array:
-        h = x.shape[1]
+        h = x.shape[axis]
         if h % 4 != 0:
-            raise ValueError(f"height {h} must be divisible by 4 (pad first)")
+            raise ValueError(
+                f"axis-{axis} extent {h} must be divisible by 4 (pad first)")
         outs = []
         for start in range(0, h, tile_h):
             stop = min(start + tile_h, h)
@@ -207,6 +216,6 @@ def tiled_apply_single_device(
             outs.append(tile_fwd(params, state, x, lo, hi - lo,
                                  (start - lo) * scale,
                                  (stop - start) * scale))
-        return jnp.concatenate(outs, axis=1)
+        return jnp.concatenate(outs, axis=axis)
 
     return fn

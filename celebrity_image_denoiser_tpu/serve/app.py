@@ -31,6 +31,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from celebrity_image_denoiser_tpu.serve.handlers import (
+    MAX_UPLOAD,
     EnhanceError,
     ServeState,
     run_enhance,
@@ -102,6 +103,13 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
             model = (qs.get("model", [""])[0] or "").strip()
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                # bound BEFORE buffering: the 50 MB contract check inside
+                # enhance() sees only the decoded file part — without this,
+                # an 8 GB Content-Length allocates the whole body per
+                # request thread before any check runs.  Headroom covers
+                # multipart framing + the cGAN cond_file second part.
+                if length > 2 * MAX_UPLOAD + 65536:
+                    raise EnhanceError(400, "File too large")
                 body = self.rfile.read(length)
                 ctype = self.headers.get("Content-Type", "")
                 if not ctype.startswith("multipart/form-data"):

@@ -25,9 +25,12 @@ def _safe_key(model) -> str:
     """Bound and sanitize an attacker-controlled model string before it
     becomes a counter key / metric label: truncate, strip everything
     outside a conservative charset (kills Prometheus label injection via
-    quotes/newlines/backslashes), and map empty to 'unknown'."""
+    quotes/newlines/backslashes), lowercase (so pre-run_enhance errors
+    counted from the raw query param share the canonical series — e.g.
+    'DENOISE:400' and 'denoise:400' must be one counter), and map empty
+    to 'unknown'."""
     cleaned = "".join(c for c in str(model)[:40]
-                      if c.isalnum() or c in "._:-")
+                      if c.isalnum() or c in "._:-").lower()
     return cleaned or "unknown"
 
 

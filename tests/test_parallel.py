@@ -148,6 +148,39 @@ def test_tiled_single_device_matches_full(rng_np):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_tiled_single_device_width_axis_matches_full(rng_np):
+    """axis=2 tiles the WIDTH — the route for panorama-shaped inputs whose
+    height is fine but whose width would blow the activation budget."""
+    model = models.DenoiseGenerator()
+    params, state = model.init(prng.key(0))
+    x = rng_np.uniform(-1, 1, (1, 48, 200, 3)).astype(np.float32)
+    y_full, _ = model.apply(params, state, jnp.asarray(x))
+    fn = parallel.tiling.tiled_apply_single_device(
+        model, params, state, tile_h=64, halo=32, axis=2)
+    y_tiled = fn(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_tiled), np.asarray(y_full),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_tiled_single_device_nested_both_axes_matches_full(rng_np):
+    """Oversized on BOTH axes: a width tiler nested as the height tiler's
+    per-tile apply_fn (the serving both-axes route) stays exact — each
+    width tile sees true context inside its height strip, and the strip
+    carries the height halo."""
+    model = models.DenoiseGenerator()
+    params, state = model.init(prng.key(0))
+    x = rng_np.uniform(-1, 1, (1, 200, 200, 3)).astype(np.float32)
+    y_full, _ = model.apply(params, state, jnp.asarray(x))
+    inner = parallel.tiling.tiled_apply_single_device(
+        model, params, state, tile_h=64, halo=32, axis=2)
+    fn = parallel.tiling.tiled_apply_single_device(
+        model, params, state, tile_h=64, halo=32, axis=1,
+        apply_fn=lambda p, s, t: inner(t))
+    y_tiled = fn(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_tiled), np.asarray(y_full),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_spatial_sharding_width_axis(rng_np, mesh):
     """GSPMD spatial sharding along W is equally exact (2-D tiling building
     block for portrait shapes that are wide rather than tall)."""

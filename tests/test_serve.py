@@ -560,8 +560,9 @@ def test_tall_srgan_request_routes_through_tiler_and_matches():
     r_t = st_tiled.enhance("srgan", png, "image/png", include_graph=False)
     r_f = st_full.enhance("srgan", png, "image/png", include_graph=False)
     # the tiled program was actually built and used
-    assert ("tiled", "srgan") in st_tiled._fns
-    assert ("tiled", "srgan") not in st_full._fns
+    assert ("tiled", "srgan", True, False) in st_tiled._fns
+    assert not any(k[0] == "tiled" for k in st_full._fns
+                   if isinstance(k, tuple))
     out_t = np.asarray(Image.open(
         io.BytesIO(base64.b64decode(r_t["denoised_image_base64"]))))
     out_f = np.asarray(Image.open(
@@ -570,6 +571,60 @@ def test_tall_srgan_request_routes_through_tiler_and_matches():
     # tiled path returns floats converted on host; untiled quantizes on
     # device — allow 1 LSB of u8 rounding between the two exact paths
     assert out_t.shape == out_f.shape
+    assert np.abs(out_t.astype(int) - out_f.astype(int)).max() <= 1
+
+
+def test_wide_request_routes_through_width_tiler_and_matches():
+    """A very WIDE request must tile too — the pre-round-4 routing checked
+    only x.shape[1], so a 1024×200000 panorama bypassed the tiler and ran
+    the full forward (review finding).  Width-oversized inputs now tile
+    along axis 2 and stay exact."""
+    from PIL import Image
+
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    st_tiled = ServeState(weights_dir="/nonexistent-weights", seed=7,
+                          tile_threshold_rows=64)
+    st_full = ServeState(weights_dir="/nonexistent-weights", seed=7)
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 256, (32, 96, 3), dtype=np.uint8)  # 96 > 64 cols
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    png = buf.getvalue()
+    r_t = st_tiled.enhance("denoise", png, "image/png", include_graph=False)
+    r_f = st_full.enhance("denoise", png, "image/png", include_graph=False)
+    assert ("tiled", "denoise", False, True) in st_tiled._fns
+    out_t = np.asarray(Image.open(
+        io.BytesIO(base64.b64decode(r_t["denoised_image_base64"]))))
+    out_f = np.asarray(Image.open(
+        io.BytesIO(base64.b64decode(r_f["denoised_image_base64"]))))
+    assert out_t.shape == (32, 96, 3)
+    assert np.abs(out_t.astype(int) - out_f.astype(int)).max() <= 1
+
+
+def test_both_axes_oversized_request_routes_through_nested_tiler():
+    """Oversized on BOTH axes: the height tiler nests a width tiler inside
+    each height tile's program and the result still matches the full
+    forward."""
+    from PIL import Image
+
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    st_tiled = ServeState(weights_dir="/nonexistent-weights", seed=7,
+                          tile_threshold_rows=64)
+    st_full = ServeState(weights_dir="/nonexistent-weights", seed=7)
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    png = buf.getvalue()
+    r_t = st_tiled.enhance("denoise", png, "image/png", include_graph=False)
+    r_f = st_full.enhance("denoise", png, "image/png", include_graph=False)
+    assert ("tiled", "denoise", True, True) in st_tiled._fns
+    out_t = np.asarray(Image.open(
+        io.BytesIO(base64.b64decode(r_t["denoised_image_base64"]))))
+    out_f = np.asarray(Image.open(
+        io.BytesIO(base64.b64decode(r_f["denoised_image_base64"]))))
     assert np.abs(out_t.astype(int) - out_f.astype(int)).max() <= 1
 
 
