@@ -131,6 +131,25 @@ def default_skip_policy(kernel: jax.Array) -> bool:
     return c_in < 8 or c_out < 8
 
 
+def act_scale(amax_c: jax.Array) -> jax.Array:
+    """Per-channel int8 activation scale from per-channel ``max|x|``.
+
+    Floors each channel's scale at 1% of the busiest channel's: a channel
+    barely excited by the (small) calibration batch would otherwise get a
+    near-zero scale and hard-clip any real serve-time activation in it to
+    ~0 (review r3 pass-2 finding #2).  1% of the global max costs <7 bits
+    of that channel's resolution while bounding the saturation risk.
+
+    THE single definition of the floor recipe: the generic PTQ transform,
+    the QAT fake-quant simulation, and quant_unet's s8-skip scale-slicing
+    algebra (which slices these scales per concat half) must all stay
+    bit-identical or the slicing/QAT silently desynchronize from serving.
+    """
+    amax_c = jnp.asarray(amax_c, jnp.float32)
+    return jnp.maximum(jnp.maximum(amax_c, 0.01 * jnp.max(amax_c)),
+                       1e-12) / 127.0
+
+
 def quantize_weight(kernel: jax.Array, out_axis: int = -1):
     """Symmetric per-output-channel int8 weight quantization."""
     k = jnp.asarray(kernel, jnp.float32)
@@ -178,12 +197,11 @@ def conv_hook(x: jax.Array, kernel: jax.Array, out_axis: int,
         xf = jnp.asarray(x, jnp.float32)
         # dynamic per-input-channel activation scale: the QAT stand-in for
         # the serving path's static calibration (stop-grad — the scale is
-        # quantizer state, not a learnable path; the same 1%-of-max floor
-        # as quantize_apply so near-dead channels don't hard-clip)
+        # quantizer state, not a learnable path; act_scale = the serving
+        # floor recipe so near-dead channels don't hard-clip)
         amax_c = jax.lax.stop_gradient(
             jnp.max(jnp.abs(xf).reshape(-1, xf.shape[-1]), axis=0))
-        s_c = jnp.maximum(jnp.maximum(amax_c, 0.01 * jnp.max(amax_c)),
-                          1e-12) / 127.0
+        s_c = act_scale(amax_c)
         oa = out_axis % kernel.ndim
         in_axis = 3 if oa == 2 else kernel.ndim - 2
         if int(kernel.shape[in_axis]) != int(s_c.shape[0]):
@@ -302,15 +320,7 @@ def quantize_apply(model, params, state, calib_x,
         if skip(kernel):
             entries.append(None)
             continue
-        amax_c = jnp.asarray(amax_c, jnp.float32)
-        # floor each channel's scale at 1% of the busiest channel's: a
-        # channel barely excited by the (small) calibration batch would
-        # otherwise get a near-zero scale and hard-clip any real serve-time
-        # activation in it to ~0 (review r3 pass-2 finding #2).  1% of the
-        # global max costs <7 bits of that channel's resolution while
-        # bounding the saturation risk.
-        s_c = jnp.maximum(jnp.maximum(amax_c, 0.01 * jnp.max(amax_c)),
-                          1e-12) / 127.0
+        s_c = act_scale(amax_c)  # 1%-of-busiest-channel floor, see act_scale
         # fold the per-input-channel activation scales into the weight
         # before quantizing it: conv(x/s_c, w*s_c) == conv(x, w) exactly,
         # and the folded weight's per-output-channel quantization absorbs

@@ -139,10 +139,9 @@ def quantize_apply_denoise_unet(model, params, state, calib_x,
             "quant.quantize_apply instead")
 
     def scale_of(i):
-        amax_c = jnp.asarray(tap.taps[i][0], jnp.float32)
-        # same floor recipe as quant.quantize_apply (1% of busiest channel)
-        return jnp.maximum(jnp.maximum(amax_c, 0.01 * jnp.max(amax_c)),
-                           1e-12) / 127.0
+        # quant.act_scale IS the serving floor recipe — the scale-slicing
+        # algebra below is only valid while these stay bit-identical
+        return quant.act_scale(tap.taps[i][0])
 
     s = [scale_of(i) for i in range(12)]
     s_e1 = s[10][64:]   # e1 storage scale = upconv1.0's last-64 slice
@@ -222,11 +221,7 @@ def quantize_apply_denoise_unet(model, params, state, calib_x,
 
         a7, a10 = jax.jit(_partial_stats)(calib_x)
 
-        def _pscale(amax_c):
-            return jnp.maximum(
-                jnp.maximum(amax_c, 0.01 * jnp.max(amax_c)), 1e-12) / 127.0
-
-        sA7, sA10 = _pscale(a7), _pscale(a10)
+        sA7, sA10 = quant.act_scale(a7), quant.act_scale(a10)
 
         def _split(a_s8, b_s8, w_i8, w_scale, sA, bias):
             # conv(concat(a,b), W) = conv(a, W[:Ca]) + conv(b, W[Ca:]),

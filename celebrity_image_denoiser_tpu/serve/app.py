@@ -102,12 +102,19 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
             qs = urllib.parse.parse_qs(parsed.query)
             model = (qs.get("model", [""])[0] or "").strip()
             try:
-                length = int(self.headers.get("Content-Length", "0"))
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    raise EnhanceError(400, "Invalid Content-Length")
                 # bound BEFORE buffering: the 50 MB contract check inside
                 # enhance() sees only the decoded file part — without this,
                 # an 8 GB Content-Length allocates the whole body per
                 # request thread before any check runs.  Headroom covers
                 # multipart framing + the cGAN cond_file second part.
+                # Negative values must 400 too: rfile.read(-1) would buffer
+                # an unbounded stream until the client closes.
+                if length < 0:
+                    raise EnhanceError(400, "Invalid Content-Length")
                 if length > 2 * MAX_UPLOAD + 65536:
                     raise EnhanceError(400, "File too large")
                 body = self.rfile.read(length)

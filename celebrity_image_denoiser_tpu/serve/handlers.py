@@ -319,16 +319,20 @@ class ServeState:
         if over_h or over_w:
             n_dev = 0 if self.mesh is None else self.mesh.devices.size
             shard_dim = 1 if over_h else 2
-            if (n_dev > 1 and not (over_h and over_w)
-                    and x.shape[shard_dim] % n_dev == 0):
+            if (n_dev > 1 and x.shape[shard_dim] % n_dev == 0
+                    and (self.use_tiling is False
+                         or not (over_h and over_w))):
                 # multi-chip: GSPMD forward sharded along the oversized
                 # axis, bit-exact — including under int8 (round/clip are
                 # elementwise and the int8 conv partitions spatially like
                 # any conv; exactness:
                 # test_quantized_sharded_matches_single_device_int8).  The
                 # routing is logged per request.  Both-axes-oversized falls
-                # through to the tiler (a 1-axis shard still materializes
-                # the other full axis per chip).
+                # through to the tiler when tiling is enabled (a 1-axis
+                # shard still materializes the other full axis per chip);
+                # with tiling disabled, a height shard still beats the
+                # full-image single-shot forward it would otherwise get
+                # (review finding, round 4).
                 key = ("sharded", which, shard_dim)
                 if key not in self._fns:
                     with self._build_locks_guard:
@@ -659,7 +663,7 @@ class ServeState:
             "models": list(self.models.keys()),
             "weights_loaded": sorted(self._weights_loaded),
             "quantize": self.quantize,
-            "uptime_s": self.stats.snapshot()["uptime_s"],
+            "uptime_s": self.stats.uptime_s(),
         }
 
     # -- the enhance endpoint --------------------------------------------------

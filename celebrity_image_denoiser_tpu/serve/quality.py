@@ -98,21 +98,32 @@ def fixture_gain_db(state, model: str) -> float:
     return psnr_u8(out, clean) - psnr_u8(noisy, clean)
 
 
+def recorded_margin(weights_dir: str, model: str) -> Optional[float]:
+    """The fixture gain recorded at retrain time
+    (``weights/<model>/meta.json``), or None when nothing usable is
+    recorded — checkpoints predating the recording, the reference's
+    verbatim .keras (no meta), or a malformed/truncated meta.json (e.g. a
+    retrain interrupted mid-rewrite, or a non-object document).  Callers
+    that REQUIRE a recording (the shipped-weights gates) assert on this
+    rather than inferring it from the floor value, which cannot
+    distinguish 'unrecorded' from 'recorded but modest'."""
+    meta_path = os.path.join(weights_dir, model, "meta.json")
+    try:
+        with open(meta_path) as f:
+            recorded = json.load(f).get("fixture_gain_db")
+    except (OSError, ValueError, TypeError, AttributeError):
+        return None
+    if not isinstance(recorded, (int, float)) or isinstance(recorded, bool):
+        return None
+    return float(recorded)
+
+
 def recorded_gate_floor(weights_dir: str, model: str,
                         default: float) -> float:
     """The gate floor for ``model``: GATE_FRACTION × the fixture gain
     recorded at retrain time (weights/<model>/meta.json), or ``default``
-    for checkpoints that predate the recording (or the reference's verbatim
-    .keras, which carries no meta)."""
-    meta_path = os.path.join(weights_dir, model, "meta.json")
-    try:
-        with open(meta_path) as f:
-            recorded: Optional[float] = json.load(f).get("fixture_gain_db")
-    except (OSError, ValueError, TypeError, AttributeError):
-        # a malformed/truncated meta.json (e.g. a retrain interrupted mid
-        # rewrite, or a non-object document) gates against the default
-        # floor instead of crashing
-        recorded = None
-    if not isinstance(recorded, (int, float)):
+    when no margin is recorded."""
+    recorded = recorded_margin(weights_dir, model)
+    if recorded is None:
         return default
-    return max(default, GATE_FRACTION * float(recorded))
+    return max(default, GATE_FRACTION * recorded)

@@ -25,12 +25,13 @@ def _safe_key(model) -> str:
     """Bound and sanitize an attacker-controlled model string before it
     becomes a counter key / metric label: truncate, strip everything
     outside a conservative charset (kills Prometheus label injection via
-    quotes/newlines/backslashes), lowercase (so pre-run_enhance errors
+    quotes/newlines/backslashes; '+' is allowed — the compute-backend
+    labels are 'int8+tiled'-shaped), lowercase (so pre-run_enhance errors
     counted from the raw query param share the canonical series — e.g.
     'DENOISE:400' and 'denoise:400' must be one counter), and map empty
     to 'unknown'."""
     cleaned = "".join(c for c in str(model)[:40]
-                      if c.isalnum() or c in "._:-").lower()
+                      if c.isalnum() or c in "._:-+").lower()
     return cleaned or "unknown"
 
 
@@ -122,6 +123,12 @@ class ServeStats:
                 f'cid_compute_backend_total{{backend="{backend}"}} {n}')
         return "\n".join(lines) + "\n"
 
+    def uptime_s(self) -> float:
+        """Cheap uptime for the liveness path: no lock, no quantile work —
+        /healthz probes poll every few seconds and must not contend with
+        request threads recording into the latency windows."""
+        return round(time.time() - self._t0, 1)
+
     def snapshot(self) -> dict:
         with self._lock:
             lat = {}
@@ -134,7 +141,7 @@ class ServeStats:
                     "max_ms": round(vals[-1] * 1e3, 1) if vals else 0.0,
                 }
             return {
-                "uptime_s": round(time.time() - self._t0, 1),
+                "uptime_s": self.uptime_s(),
                 "requests": dict(self._requests),
                 "errors": dict(self._errors),
                 "latency": lat,

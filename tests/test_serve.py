@@ -355,9 +355,11 @@ def test_shipped_weights_actually_denoise(shipped_state, model):
     if not os.path.isdir(os.path.join(shipped_state.weights_dir, model)):
         pytest.skip(f"no shipped {model} checkpoint")
     gain = quality.fixture_gain_db(shipped_state, model)
+    assert quality.recorded_margin(
+        shipped_state.weights_dir, model) is not None, (
+        f"{model}: meta.json must record fixture_gain_db")
     floor = quality.recorded_gate_floor(shipped_state.weights_dir, model,
                                         default=1.0)
-    assert floor > 1.0, f"{model}: meta.json must record fixture_gain_db"
     assert gain >= floor, (
         f"{model}: shipped weights gain {gain:.2f} dB is below the gate "
         f"floor {floor:.2f} dB (70% of the margin recorded at retrain)")
@@ -376,9 +378,11 @@ def test_shipped_srgan_beats_bicubic_through_serving(shipped_state):
     if not os.path.isdir(os.path.join(shipped_state.weights_dir, "srgan")):
         pytest.skip("no shipped srgan checkpoint")
     gain = quality.fixture_gain_db(shipped_state, "srgan")
+    assert quality.recorded_margin(
+        shipped_state.weights_dir, "srgan") is not None, (
+        "srgan: meta.json must record fixture_gain_db")
     floor = quality.recorded_gate_floor(shipped_state.weights_dir, "srgan",
                                         default=0.0)
-    assert floor > 0.0, "srgan: meta.json must record fixture_gain_db"
     assert gain >= floor, (
         f"shipped srgan gain over bicubic {gain:+.2f} dB is below the gate "
         f"floor {floor:.2f} dB (70% of the margin recorded at retrain)")
@@ -1055,3 +1059,98 @@ def test_fastapi_validation_errors_counted():
     assert r.status_code == 400
     s = client.get("/stats").json()
     assert s["errors"].get("cgan:400") == 1
+
+
+def test_negative_or_malformed_content_length_400(server):
+    """A negative Content-Length must 400 before any body buffering —
+    rfile.read(-1) would otherwise buffer an unbounded stream until the
+    client closes (the exact DoS the pre-buffer guard exists to stop);
+    a non-integer header must 400 too, not surface as a model 500."""
+    import socket
+
+    host, port = server.replace("http://", "").split(":")
+
+    def raw_post(cl_value):
+        with socket.create_connection((host, int(port)), timeout=10) as s:
+            s.sendall((
+                "POST /enhance?model=denoise HTTP/1.1\r\n"
+                f"Host: {host}\r\n"
+                "Content-Type: multipart/form-data; boundary=x\r\n"
+                f"Content-Length: {cl_value}\r\n"
+                "Connection: close\r\n\r\n").encode())
+            # a little body the server must NOT wait on
+            s.sendall(b"--x--\r\n")
+            data = s.recv(4096)
+        return data.split(b" ", 2)[1]
+
+    assert raw_post("-1") == b"400"
+    assert raw_post("abc") == b"400"
+
+
+def test_stats_backend_labels_keep_plus(server):
+    """Compute-backend routing labels are 'int8+tiled'-shaped: the key
+    sanitizer must keep '+' so /stats and /metrics report the same name
+    the per-request log line and the docs use."""
+    from celebrity_image_denoiser_tpu.serve.stats import ServeStats
+
+    st = ServeStats()
+    st.record("denoise", 0.01, "int8+tiled")
+    st.record("denoise", 0.01, "float+sharded")
+    snap = st.snapshot()
+    assert snap["compute_backends"] == {"int8+tiled": 1, "float+sharded": 1}
+    assert 'backend="int8+tiled"' in st.prometheus()
+
+
+def test_both_axes_oversized_mesh_without_tiling_still_shards():
+    """mesh>1 + use_tiling=False + an input oversized on BOTH axes must
+    still run the height-sharded GSPMD forward (bit-exact vs single
+    device), not fall through to the full-image single-shot the big-input
+    routing exists to protect against (review finding, round 4)."""
+    import jax
+
+    from celebrity_image_denoiser_tpu.parallel import make_mesh
+    from celebrity_image_denoiser_tpu.serve.handlers import ServeState
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from PIL import Image
+
+    mesh = make_mesh()
+    st_plain = ServeState(weights_dir="/nonexistent-weights", seed=3)
+    st_mesh = ServeState(weights_dir="/nonexistent-weights", seed=3,
+                         mesh=mesh, tile_threshold_rows=16,
+                         use_tiling=False)
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 255, (32, 24, 3), dtype=np.uint8)  # both > 16
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    png = buf.getvalue()
+    a = st_plain.enhance("denoise", png, "image/png", include_graph=False)
+    b = st_mesh.enhance("denoise", png, "image/png", include_graph=False)
+    assert a["denoised_image_base64"] == b["denoised_image_base64"]
+    snap = st_mesh.stats.snapshot()
+    assert any(k.endswith("+sharded") for k in snap["compute_backends"]), (
+        snap["compute_backends"])
+
+
+def test_recorded_margin_distinguishes_modest_from_missing(tmp_path):
+    """recorded_margin must distinguish 'recorded but modest' (gates use
+    the default floor but do NOT complain about a missing recording) from
+    'nothing recorded' — a floor value alone cannot."""
+    import json as _json
+
+    from celebrity_image_denoiser_tpu.serve.quality import (
+        recorded_gate_floor,
+        recorded_margin,
+    )
+
+    d = tmp_path / "dncnn"
+    d.mkdir()
+    assert recorded_margin(str(tmp_path), "dncnn") is None  # no meta at all
+    (d / "meta.json").write_text(_json.dumps({"fixture_gain_db": 1.3}))
+    # modest margin: floor clamps to the default…
+    assert recorded_gate_floor(str(tmp_path), "dncnn", 1.0) == 1.0
+    # …but the recording is visibly present
+    assert recorded_margin(str(tmp_path), "dncnn") == pytest.approx(1.3)
+    (d / "meta.json").write_text('{"fixture_gain_db": true}')
+    assert recorded_margin(str(tmp_path), "dncnn") is None  # bool ≠ number
