@@ -98,6 +98,46 @@ def t_srgan_generator():
     return G()
 
 
+def t_srgan_discriminator():
+    class D(tn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = tn.Sequential(
+                tn.Conv2d(3, 64, 3, padding=1), tn.LeakyReLU(0.2),
+                tn.Conv2d(64, 64, 3, stride=2, padding=1), tn.BatchNorm2d(64), tn.LeakyReLU(0.2),
+                tn.Conv2d(64, 128, 3, padding=1), tn.BatchNorm2d(128), tn.LeakyReLU(0.2),
+                tn.Conv2d(128, 128, 3, stride=2, padding=1), tn.BatchNorm2d(128), tn.LeakyReLU(0.2),
+                tn.Conv2d(128, 256, 3, padding=1), tn.BatchNorm2d(256), tn.LeakyReLU(0.2),
+                tn.AdaptiveAvgPool2d(1), tn.Conv2d(256, 512, 1), tn.LeakyReLU(0.2),
+                tn.Conv2d(512, 1, 1), tn.Sigmoid())
+        def forward(self, x):
+            return self.model(x).view(-1)
+    return D()
+
+
+def t_vgg_tower():
+    """torchvision vgg16.features[:16] layer layout with RANDOM weights,
+    named ``slice`` like the reference's VGGPerceptualLoss
+    (sr_ganTrainGNew.py:83-93) so state_dict keys ('slice.<i>.weight')
+    import straight into our models.vgg.VGGFeatures tree."""
+    class T(tn.Module):
+        def __init__(self):
+            super().__init__()
+            self.slice = tn.Sequential(
+                tn.Conv2d(3, 64, 3, padding=1), tn.ReLU(),
+                tn.Conv2d(64, 64, 3, padding=1), tn.ReLU(),
+                tn.MaxPool2d(2, 2),
+                tn.Conv2d(64, 128, 3, padding=1), tn.ReLU(),
+                tn.Conv2d(128, 128, 3, padding=1), tn.ReLU(),
+                tn.MaxPool2d(2, 2),
+                tn.Conv2d(128, 256, 3, padding=1), tn.ReLU(),
+                tn.Conv2d(256, 256, 3, padding=1), tn.ReLU(),
+                tn.Conv2d(256, 256, 3, padding=1), tn.ReLU())
+        def forward(self, x):
+            return self.slice(x)
+    return T()
+
+
 def t_esrgan_generator():
     class RB(tn.Module):
         def __init__(self, c):
@@ -198,6 +238,17 @@ def test_srgan_generator_parity(rng_np):
     got = _run_ours(om, params, state, x)
     assert got.shape == (1, 64, 64, 3)  # ×4 upscale
     np.testing.assert_allclose(got, _nhwc(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_srgan_discriminator_parity(rng_np):
+    tm = t_srgan_discriminator().eval()
+    om = models.SRGANDiscriminator()
+    params, state = _transfer(om, tm)
+    x = rng_np.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    got = _run_ours(om, params, state, x)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
 def test_esrgan_generator_parity(rng_np):

@@ -28,12 +28,14 @@ torch = pytest.importorskip("torch")
 
 from test_models_parity import (  # noqa: E402
     t_denoise_discriminator, t_denoise_generator, t_esrgan_discriminator,
-    t_esrgan_generator)
+    t_esrgan_generator, t_srgan_discriminator, t_srgan_generator,
+    t_vgg_tower)
 
 from celebrity_image_denoiser_tpu import models  # noqa: E402
 from celebrity_image_denoiser_tpu.ckpt import import_torch_state_dict  # noqa: E402
 from celebrity_image_denoiser_tpu.core import prng  # noqa: E402
 from celebrity_image_denoiser_tpu.train.gan_trainer import make_train_step  # noqa: E402
+from celebrity_image_denoiser_tpu.train.losses import make_vgg_perceptual  # noqa: E402
 from celebrity_image_denoiser_tpu.utils import tree as treelib  # noqa: E402
 
 
@@ -120,6 +122,78 @@ def test_denoise_train_step_matches_torch(rng_np):
     # mean subtraction cancels it) updates on pure float noise and can land
     # 2·lr apart between backends.  2.5e-4 sits just above that bound; the
     # semantic teeth of this test are the exact losses and BN running stats.
+    _assert_trees_close((carry2[0], carry2[2]), (carry2[1], carry2[3]),
+                        our_g, our_d, tg, td, atol_p=2.5e-4, atol_s=1e-4)
+
+
+def test_srgan_train_step_matches_torch(rng_np):
+    """sr_ganTrainGNew.py:393-409, one iteration: D BCE real-vs-fake, then
+    G = VGG-content MSE + 0.001·adv through the UPDATED discriminator.  The
+    content-loss path runs a frozen random-weight VGG16-features[:16] tower
+    shared bit-for-bit between both sides via the .pth-shaped importer
+    (the reference's pretrained tower is unreachable here, but the STEP
+    semantics — which gradients flow, where the tower is frozen, the loss
+    weighting — are weight-independent).  Locks G (BN-bearing) AND D
+    running stats plus the LR→HR ×4 shape handling."""
+    tg, td = t_srgan_generator(), t_srgan_discriminator()
+    tg.train(), td.train()
+    tvgg = t_vgg_tower().eval()
+    for p in tvgg.parameters():
+        p.requires_grad = False
+
+    our_g = models.build_generator("srgan")
+    our_d = models.build_discriminator("srgan")
+    g_params, g_state = our_g.init(prng.key(0))
+    d_params, d_state = our_d.init(prng.key(1))
+    g_params, g_state = import_torch_state_dict(our_g, tg.state_dict(),
+                                                g_params, g_state)
+    d_params, d_state = import_torch_state_dict(our_d, td.state_dict(),
+                                                d_params, d_state)
+
+    vgg = models.VGGFeatures()
+    v_params, v_state = vgg.init(prng.key(4))
+    v_params, v_state = import_torch_state_dict(vgg, tvgg.state_dict(),
+                                                v_params, v_state)
+    perceptual = make_vgg_perceptual(vgg, v_params, v_state)
+
+    init_fn, step_fn = make_train_step(our_g, our_d, family="srgan",
+                                       perceptual=perceptual, donate=False)
+    carry = init_fn(prng.key(2))
+    carry = (g_params, g_state, d_params, d_state, carry[4], carry[5])
+
+    hr = rng_np.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    lr = rng_np.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32)
+
+    # ---- the reference loop body, verbatim semantics ----------------------
+    g_opt = torch.optim.Adam(tg.parameters(), lr=1e-4, betas=(0.9, 0.999))
+    d_opt = torch.optim.Adam(td.parameters(), lr=1e-4, betas=(0.9, 0.999))
+    bce, mse = torch.nn.BCELoss(), torch.nn.MSELoss()
+    tn_lr = torch.from_numpy(np.transpose(lr, (0, 3, 1, 2)))
+    tn_hr = torch.from_numpy(np.transpose(hr, (0, 3, 1, 2)))
+
+    d_opt.zero_grad()
+    fake_hr = tg(tn_lr)
+    real_pred = td(tn_hr)
+    fake_pred = td(fake_hr.detach())
+    d_loss = (bce(real_pred, torch.ones_like(real_pred))
+              + bce(fake_pred, torch.zeros_like(fake_pred)))
+    d_loss.backward()
+    d_opt.step()
+
+    g_opt.zero_grad()
+    fake_pred = td(fake_hr)
+    content_loss = mse(tvgg(fake_hr), tvgg(tn_hr))
+    adv_loss = bce(fake_pred, torch.ones_like(fake_pred))
+    g_loss = content_loss + 0.001 * adv_loss
+    g_loss.backward()
+    g_opt.step()
+
+    # ---- our jitted step on the same batch --------------------------------
+    carry2, out = step_fn(carry, jnp.asarray(lr), jnp.asarray(hr),
+                          prng.key(3), 1e-4, 1e-4)
+
+    np.testing.assert_allclose(float(out["d_loss"]), float(d_loss), rtol=1e-4)
+    np.testing.assert_allclose(float(out["g_loss"]), float(g_loss), rtol=1e-4)
     _assert_trees_close((carry2[0], carry2[2]), (carry2[1], carry2[3]),
                         our_g, our_d, tg, td, atol_p=2.5e-4, atol_s=1e-4)
 
