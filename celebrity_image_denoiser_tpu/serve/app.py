@@ -121,7 +121,12 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
                 ctype = self.headers.get("Content-Type", "")
                 if not ctype.startswith("multipart/form-data"):
                     raise EnhanceError(400, "Expected multipart/form-data")
-                parts = parse_multipart(body, ctype)
+                try:
+                    parts = parse_multipart(body, ctype)
+                except ValueError as e:
+                    # malformed framing is the CLIENT's fault: 400, never a
+                    # model 500 (fuzz contract, tests/test_multipart_fuzz.py)
+                    raise EnhanceError(400, f"Malformed multipart body: {e}")
                 if "file" not in parts:
                     raise EnhanceError(400, "Uploaded file must be an image")
                 fpart = parts["file"]
@@ -132,7 +137,9 @@ def make_server(host: str = "0.0.0.0", port: int = 8000,
                     file_bytes=fpart.data,
                     content_type=fpart.content_type or "",
                     cgan_backend=qs.get("cgan_backend", ["auto"])[0],
-                    label_raw=(parts["label"].data.decode()
+                    # "replace" so undecodable label bytes become a 400 at
+                    # int() parsing, not a UnicodeDecodeError 500
+                    label_raw=(parts["label"].data.decode("utf-8", "replace")
                                if "label" in parts else None),
                     cond_bytes=cond.data if cond else None,
                     graphs_raw=qs.get("graphs", ["true"])[0],
