@@ -98,7 +98,53 @@ def fixture_gain_db(state, model: str) -> float:
     return psnr_u8(out, clean) - psnr_u8(noisy, clean)
 
 
-def recorded_margin(weights_dir: str, model: str) -> Optional[float]:
+def srgan_battery_gain_db(state, n: int = 6, size: int = 128,
+                          seed: int = 77) -> float:
+    """Bicubic-relative PSNR margin averaged over the synthetic held-out
+    BATTERY — the same clean corpus + noise recipe the retrain script's
+    ``evaluate`` runs (data/synthetic.py shapes, noise variant 2,
+    LR = ×4 bicubic downscale) — with every LR image pushed through the
+    full serving path.  Recorded at retrain time as ``battery_gain_db`` in
+    weights/srgan/meta.json.
+
+    Why a second margin for srgan only: the single 64² structured fixture
+    under-measures it (1.18 dB fixture vs 2.19 dB held-out in the r4
+    shipped meta), so the 70% floor on the fixture margin would tolerate a
+    ~60% quality loss (VERDICT r4 weak #6).  Gating on 70% of the battery
+    margin restores the regression sensitivity the other families get."""
+    import jax
+    import jax.numpy as jnp
+
+    from PIL import Image
+
+    from celebrity_image_denoiser_tpu.core import prng
+    from celebrity_image_denoiser_tpu.data import noise as noise_lib
+    from celebrity_image_denoiser_tpu.data.synthetic import synth_clean_batch
+
+    k1, k2 = jax.random.split(prng.key(seed))
+    clean01 = synth_clean_batch(k1, n, size)
+    noisy01 = noise_lib.random_noise_batch(k2, clean01, variant=2)
+    nb, h, w, c = noisy01.shape
+    lr01 = jnp.clip(jax.image.resize(noisy01, (nb, h // 4, w // 4, c),
+                                     "bicubic"), 0, 1)
+    base01 = jnp.clip(jax.image.resize(lr01, noisy01.shape, "bicubic"), 0, 1)
+    clean_u8 = np.asarray(jnp.round(clean01 * 255)).astype(np.uint8)
+    base_u8 = np.asarray(jnp.round(base01 * 255)).astype(np.uint8)
+    lr_u8 = np.asarray(jnp.round(lr01 * 255)).astype(np.uint8)
+    gains = []
+    for i in range(nb):
+        buf = io.BytesIO()
+        Image.fromarray(lr_u8[i]).save(buf, format="PNG")
+        result = state.enhance("srgan", buf.getvalue(), "image/png",
+                               include_graph=False)
+        out = _decode_b64_png(result["denoised_image_base64"])
+        gains.append(psnr_u8(out, clean_u8[i])
+                     - psnr_u8(base_u8[i], clean_u8[i]))
+    return float(np.mean(gains))
+
+
+def recorded_margin(weights_dir: str, model: str,
+                    key: str = "fixture_gain_db") -> Optional[float]:
     """The fixture gain recorded at retrain time
     (``weights/<model>/meta.json``), or None when nothing usable is
     recorded — checkpoints predating the recording, the reference's
@@ -110,7 +156,7 @@ def recorded_margin(weights_dir: str, model: str) -> Optional[float]:
     meta_path = os.path.join(weights_dir, model, "meta.json")
     try:
         with open(meta_path) as f:
-            recorded = json.load(f).get("fixture_gain_db")
+            recorded = json.load(f).get(key)
     except (OSError, ValueError, TypeError, AttributeError):
         return None
     if not isinstance(recorded, (int, float)) or isinstance(recorded, bool):
@@ -118,12 +164,12 @@ def recorded_margin(weights_dir: str, model: str) -> Optional[float]:
     return float(recorded)
 
 
-def recorded_gate_floor(weights_dir: str, model: str,
-                        default: float) -> float:
-    """The gate floor for ``model``: GATE_FRACTION × the fixture gain
-    recorded at retrain time (weights/<model>/meta.json), or ``default``
+def recorded_gate_floor(weights_dir: str, model: str, default: float,
+                        key: str = "fixture_gain_db") -> float:
+    """The gate floor for ``model``: GATE_FRACTION × the margin recorded at
+    retrain time under ``key`` (weights/<model>/meta.json), or ``default``
     when no margin is recorded."""
-    recorded = recorded_margin(weights_dir, model)
+    recorded = recorded_margin(weights_dir, model, key=key)
     if recorded is None:
         return default
     return max(default, GATE_FRACTION * recorded)

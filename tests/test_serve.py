@@ -368,24 +368,79 @@ def test_shipped_weights_actually_denoise(shipped_state, model):
 def test_shipped_srgan_beats_bicubic_through_serving(shipped_state):
     """The shipped SRGAN ×4 weights (two-stage recipe: MSE pretrain then
     perceptual+adversarial fine-tune) must beat the bicubic-upscale baseline
-    by ≥70% of the recorded fixture margin through the full serving path.
-    The reference's srgan serving compares against exactly this baseline
-    (app.py:474-485 upscales the input for the analysis figure)."""
+    by ≥70% of the BATTERY margin recorded at retrain (battery_gain_db in
+    meta.json — the held-out corpus through serving, VERDICT r4 weak #6:
+    the single-fixture margin was thin enough to tolerate a ~60% quality
+    loss).  The reference's srgan serving compares against exactly this
+    baseline (app.py:474-485 upscales the input for the analysis figure)."""
     import os
 
     from celebrity_image_denoiser_tpu.serve import quality
 
     if not os.path.isdir(os.path.join(shipped_state.weights_dir, "srgan")):
         pytest.skip("no shipped srgan checkpoint")
-    gain = quality.fixture_gain_db(shipped_state, "srgan")
     assert quality.recorded_margin(
-        shipped_state.weights_dir, "srgan") is not None, (
-        "srgan: meta.json must record fixture_gain_db")
+        shipped_state.weights_dir, "srgan", key="battery_gain_db") \
+        is not None, "srgan: meta.json must record battery_gain_db"
+    gain = quality.srgan_battery_gain_db(shipped_state)
     floor = quality.recorded_gate_floor(shipped_state.weights_dir, "srgan",
-                                        default=0.0)
+                                        default=0.0, key="battery_gain_db")
     assert gain >= floor, (
-        f"shipped srgan gain over bicubic {gain:+.2f} dB is below the gate "
-        f"floor {floor:.2f} dB (70% of the margin recorded at retrain)")
+        f"shipped srgan battery gain over bicubic {gain:+.2f} dB is below "
+        f"the gate floor {floor:.2f} dB (70% of the margin recorded at "
+        f"retrain)")
+    # the single-fixture margin stays recorded + positive as a secondary
+    # signal (it is what the other families gate on)
+    fixture = quality.fixture_gain_db(shipped_state, "srgan")
+    assert fixture > 0, f"fixture gain went negative: {fixture:+.2f} dB"
+
+
+def test_degraded_srgan_fails_the_battery_gate(tmp_path):
+    """Negative control for the srgan battery gate: wreck the shipped srgan
+    generator as the denoise control does and assert the battery margin
+    falls below 70% of the recorded battery_gain_db — the old fixture gate
+    (floor 0.82 dB of a 2.19 dB claim) would tolerate a much deeper loss."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from celebrity_image_denoiser_tpu.ckpt import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from celebrity_image_denoiser_tpu.serve import quality
+    from celebrity_image_denoiser_tpu.serve.handlers import (
+        ServeState,
+        default_weights_dir,
+    )
+
+    src = os.path.join(default_weights_dir(), "srgan")
+    if not os.path.isdir(src):
+        pytest.skip("no shipped srgan checkpoint")
+    sections, meta = load_checkpoint(src)
+    rng = np.random.default_rng(0)
+
+    def degrade(x):
+        return x + jnp.asarray(
+            rng.normal(0, 0.15 * float(np.std(np.asarray(x)) + 1e-6),
+                       x.shape).astype(np.asarray(x).dtype))
+
+    sections = dict(sections)
+    sections["generator"] = jax.tree.map(degrade, sections["generator"])
+    out = tmp_path / "weights" / "srgan"
+    # meta round-trips through save_checkpoint, so the degraded dir keeps
+    # the ORIGINAL battery_gain_db (a real regression wouldn't rewrite its
+    # own acceptance record)
+    save_checkpoint(str(out), sections, meta=meta)
+    state = ServeState(weights_dir=str(tmp_path / "weights"))
+    gain = quality.srgan_battery_gain_db(state)
+    floor = quality.recorded_gate_floor(str(tmp_path / "weights"), "srgan",
+                                        default=0.0, key="battery_gain_db")
+    assert floor > 1.0, f"battery floor unexpectedly loose: {floor:.2f}"
+    assert gain < floor, (
+        f"degraded srgan still passes the battery gate ({gain:.2f} dB >= "
+        f"{floor:.2f} dB) — the margin floor is too loose")
 
 
 def test_degraded_checkpoint_fails_the_margin_gate(tmp_path):
