@@ -46,14 +46,18 @@ CONFIGS = {
 }
 
 
+V5E_HBM_GBPS = 819.0  # same roofline constant as benchmarks/cost_analysis.py
+
+
 def bench_family(family: str, steps: int, chunk: int,
                  compute_dtype: str = "float32", batch: int = None,
-                 no_metrics: bool = False):
+                 no_metrics: bool = False, size: int = None):
     sys.path.insert(0, os.path.join(_REPO, "scripts"))
     from train_serving_weights import build_models, load_perceptual
 
-    cfg_batch, size = CONFIGS[family]
+    cfg_batch, cfg_size = CONFIGS[family]
     batch = batch or cfg_batch
+    size = size or cfg_size
     if family == "cgan":
         from celebrity_image_denoiser_tpu import models as M
 
@@ -79,6 +83,38 @@ def bench_family(family: str, steps: int, chunk: int,
             return c, m["g_loss"]
 
         return jax.lax.scan(body, carry, jax.random.split(key, chunk))
+
+    # ---- bytes-roofline receipt for the TRAIN PROGRAM proper -------------
+    # the jitted step (noise synth + G/D fwd+bwd + Adam + in-step metrics;
+    # the lax.scan data synth stays outside): GB/step + arithmetic
+    # intensity + bandwidth/MXU floors, the serving cost_analysis.py table
+    # applied to training (VERDICT r4 next #3).  Computed on the standalone
+    # step program so the scan's once-per-body accounting can't distort the
+    # bytes side.
+    roofline = {}
+    try:
+        carry0 = init_fn(prng.key(8))
+        clean0 = synth_clean_batch(prng.key(9), batch, size) * 2.0 - 1.0
+        lowered = step_fn.lower(carry0, clean0, clean0, prng.key(10),
+                                jnp.float32(1e-4), jnp.float32(1e-4))
+        ca = lowered.compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        s_flops = float(ca.get("flops", 0.0))
+        s_bytes = float(ca.get("bytes accessed", 0.0))
+        if s_bytes > 0:
+            bw_floor_ms = s_bytes / (V5E_HBM_GBPS * 1e9) * 1e3
+            mxu_floor_ms = s_flops / (V5E_BF16_PEAK_TFLOPS * 1e12) * 1e3
+            roofline = {
+                "gb_per_step": round(s_bytes / 1e9, 2),
+                "arith_intensity": round(s_flops / s_bytes, 1),
+                "bw_floor_ms": round(bw_floor_ms, 2),
+                "mxu_floor_ms": round(mxu_floor_ms, 2),
+                "bound": ("bandwidth" if bw_floor_ms > mxu_floor_ms
+                          else "compute"),
+            }
+        del carry0
+    except Exception as e:
+        roofline = {"roofline_error": str(e)}
 
     if no_metrics:
         # isolate the in-step PSNR/SSIM cost: identical step minus metrics
@@ -125,6 +161,10 @@ def bench_family(family: str, steps: int, chunk: int,
         out["hlo_gflop_per_step"] = round(flops_per_step / 1e9, 1)
         out["tflops"] = round(tflops, 1)
         out["mfu_vs_bf16_peak"] = round(tflops / V5E_BF16_PEAK_TFLOPS, 3)
+    out.update(roofline)
+    if "bw_floor_ms" in roofline:
+        floor = max(roofline["bw_floor_ms"], roofline["mxu_floor_ms"])
+        out["measured_vs_floor"] = round(out["ms_per_step"] / floor, 2)
     return out
 
 
@@ -137,13 +177,16 @@ def main():
                     choices=["float32", "bfloat16"])
     ap.add_argument("--batch", type=int, default=None,
                     help="override the reference batch size (scaling probes)")
+    ap.add_argument("--size", type=int, default=None,
+                    help="override the reference image size (TPU-sized rows)")
     ap.add_argument("--no-metrics", action="store_true",
                     help="drop in-step PSNR/SSIM (quantifies their share)")
     args = ap.parse_args()
     fams = [args.family] if args.family else list(CONFIGS)
     for f in fams:
         r = bench_family(f, args.steps, args.chunk, args.compute_dtype,
-                         batch=args.batch, no_metrics=args.no_metrics)
+                         batch=args.batch, no_metrics=args.no_metrics,
+                         size=args.size)
         r["compute_dtype"] = args.compute_dtype
         if args.no_metrics:
             r["no_metrics"] = True
