@@ -43,13 +43,66 @@ def shape_bytes(text: str) -> int:
     return total
 
 
+def _lower_train_step(family: str, compute_dtype: str, batch, size):
+    """Compile one jitted GAN train step (the exact program train_bench.py
+    times) and return its optimized HLO — per-op attribution for the train
+    bytes-roofline receipts (VERDICT r4 next #3: locate the GB/step)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    from train_bench import CONFIGS as TRAIN_CONFIGS
+    from train_serving_weights import build_models, load_perceptual
+
+    from celebrity_image_denoiser_tpu.core import prng
+    from celebrity_image_denoiser_tpu.core.config import FAMILY_NOISE_VARIANT
+    from celebrity_image_denoiser_tpu.data.synthetic import synth_clean_batch
+    from celebrity_image_denoiser_tpu.train.gan_trainer import make_train_step
+
+    cfg_batch, cfg_size = TRAIN_CONFIGS[family]
+    batch, size = batch or cfg_batch, size or cfg_size
+    if family == "cgan":
+        from celebrity_image_denoiser_tpu import models as M
+
+        gen, disc = (M.CGANKerasGenerator(),
+                     M.CGANKerasDiscriminator(input_hw=(size, size)))
+    else:
+        gen, disc = build_models(family, size)
+    init_fn, step_fn = make_train_step(
+        gen, disc, family=family,
+        perceptual=load_perceptual(None) if family == "srgan" else None,
+        on_the_fly_noise=True,
+        noise_variant=FAMILY_NOISE_VARIANT.get(family, 1),
+        donate=False, sr_scale=4 if family == "srgan" else 1,
+        compute_dtype=compute_dtype)
+    carry = init_fn(prng.key(0))
+    clean = synth_clean_batch(prng.key(1), batch, size) * 2.0 - 1.0
+    lr = jnp.float32(1e-4)
+    return step_fn.lower(carry, clean, clean, prng.key(2), lr, lr).compile()
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--mode", choices=["int8", "bf16", "s8skip"],
                     default="int8")
+    ap.add_argument("--train", default=None,
+                    metavar="FAMILY",
+                    help="rank the TRAIN step of this family instead of the "
+                         "serve step (denoise|srgan|esrgan|cgan|dncnn)")
+    ap.add_argument("--size", type=int, default=None,
+                    help="image size override (train mode)")
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="train-mode compute dtype")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
+
+    if args.train:
+        compiled = _lower_train_step(args.train, args.compute_dtype,
+                                     args.batch, args.size)
+        _rank(compiled.as_text(),
+              f"train:{args.train} dtype={args.compute_dtype}", args.top)
+        return
+    args.batch = args.batch or 2048
 
     from celebrity_image_denoiser_tpu import models
     from celebrity_image_denoiser_tpu.core import prng
@@ -83,8 +136,11 @@ def main():
 
     x = jnp.zeros((args.batch, 128, 128, 3), jnp.uint8)
     compiled = jax.jit(step).lower(bf16_params, state, x).compile()
-    hlo = compiled.as_text()
+    _rank(compiled.as_text(), f"mode={args.mode} batch={args.batch}",
+          args.top)
 
+
+def _rank(hlo: str, label: str, top: int):
     # entry computation only: lines 'name = dtype[shape] op(operands...)'
     entry = []
     in_entry = False
@@ -124,9 +180,8 @@ def main():
 
     rows.sort(reverse=True)
     total = sum(r[0] for r in rows)
-    print(f"mode={args.mode} batch={args.batch} "
-          f"total attributed traffic: {total/1e9:.1f} GB")
-    for tot, out_b, arg_b, op, name, rhs in rows[: args.top]:
+    print(f"{label} total attributed traffic: {total/1e9:.1f} GB")
+    for tot, out_b, arg_b, op, name, rhs in rows[:top]:
         print(f"{tot/1e9:7.2f} GB (out {out_b/1e9:6.2f} + in {arg_b/1e9:6.2f})"
               f"  {op:<12} {rhs}")
 

@@ -51,7 +51,8 @@ V5E_HBM_GBPS = 819.0  # same roofline constant as benchmarks/cost_analysis.py
 
 def bench_family(family: str, steps: int, chunk: int,
                  compute_dtype: str = "float32", batch: int = None,
-                 no_metrics: bool = False, size: int = None):
+                 no_metrics: bool = False, size: int = None,
+                 remat: bool = False):
     sys.path.insert(0, os.path.join(_REPO, "scripts"))
     from train_serving_weights import build_models, load_perceptual
 
@@ -73,6 +74,7 @@ def bench_family(family: str, steps: int, chunk: int,
         donate=False,
         sr_scale=4 if family == "srgan" else 1,
         compute_dtype=compute_dtype,
+        remat=remat,
     )
 
     def run_chunk(carry, key, lr):
@@ -80,7 +82,14 @@ def bench_family(family: str, steps: int, chunk: int,
             kd, kn = jax.random.split(k)
             clean = synth_clean_batch(kd, batch, size) * 2.0 - 1.0
             c, m = step_fn(c, clean, clean, kn, lr, lr)
-            return c, m["g_loss"]
+            # keep the metric outputs LIVE: real training consumes
+            # psnr/ssim into history every step (GANTrainer), and a dead
+            # output is DCE'd by XLA — timing without them flatters the
+            # number (r5 receipt: the in-step metrics are ~12% of program
+            # bytes and ~0 FLOPs).  --no-metrics drops them from the dict,
+            # so the flag measures the real metric cost.
+            return c, {k2: m[k2] for k2 in ("g_loss", "psnr", "ssim")
+                       if k2 in m}
 
         return jax.lax.scan(body, carry, jax.random.split(key, chunk))
 
@@ -144,12 +153,14 @@ def bench_family(family: str, steps: int, chunk: int,
     except Exception:
         pass
     carry, losses = run_chunk(carry, prng.key(1), lr)  # compile + warm
-    np.asarray(jax.device_get(losses[-1]))
+    jax.device_get(jax.tree.map(lambda v: v[-1], losses))
     n_chunks = max(1, steps // chunk)
     t0 = time.perf_counter()
     for i in range(n_chunks):
         carry, losses = run_chunk(carry, prng.key(2 + i), lr)
-    np.asarray(jax.device_get(losses[-1]))  # fence
+    # fence on EVERY live output (scalar fetch through the tunnel;
+    # device_get blocks until the values are on host)
+    jax.device_get(jax.tree.map(lambda v: v[-1], losses))
     dt = time.perf_counter() - t0
     total = n_chunks * chunk
     out = {"family": family, "batch": batch, "size": size,
@@ -181,12 +192,20 @@ def main():
                     help="override the reference image size (TPU-sized rows)")
     ap.add_argument("--no-metrics", action="store_true",
                     help="drop in-step PSNR/SSIM (quantifies their share)")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the G forward: recompute "
+                         "activations in the bwd pass instead of storing + "
+                         "re-reading them — a bytes capture when the step "
+                         "is bandwidth-bound (all five are at the reference "
+                         "configs; see kernel_notes.md r5)")
     args = ap.parse_args()
     fams = [args.family] if args.family else list(CONFIGS)
     for f in fams:
         r = bench_family(f, args.steps, args.chunk, args.compute_dtype,
                          batch=args.batch, no_metrics=args.no_metrics,
-                         size=args.size)
+                         size=args.size, remat=args.remat)
+        if args.remat:
+            r["remat"] = True
         r["compute_dtype"] = args.compute_dtype
         if args.no_metrics:
             r["no_metrics"] = True
