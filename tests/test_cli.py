@@ -526,3 +526,44 @@ def test_qat_finetune_end_to_end_ship_and_refuse(tmp_path, capsys):
             "--batch", "2", "--size", "32", "--qat-lr", "10.0",
             "--init-from", str(src), "--out", str(out)])
     assert (out / "denoise" / "arrays.npz").read_bytes() == before
+
+
+def test_export_cli_pth_roundtrip(tmp_path):
+    """cli.export writes a .pth the tolerant importer (and therefore the
+    reference's own loader layout, app.py:257-274) reads back bit-equal —
+    the CLI surface of the ckpt/export.py round-trip."""
+    import numpy as np
+
+    from celebrity_image_denoiser_tpu import models as M
+    from celebrity_image_denoiser_tpu.ckpt import load_pth_safely
+    from celebrity_image_denoiser_tpu.cli.export import main
+    from celebrity_image_denoiser_tpu.core import prng
+    from celebrity_image_denoiser_tpu.utils import tree as treelib
+
+    if not os.path.isdir("weights/denoise"):
+        pytest.skip("no shipped denoise checkpoint")
+    out = tmp_path / "denoise_epoch_499.pth"
+    rc = main(["--model", "denoise", "--checkpoint", "weights/denoise",
+               "--out", str(out)])
+    assert rc == 0 and out.exists()
+
+    from celebrity_image_denoiser_tpu.ckpt import load_checkpoint
+
+    sections, _ = load_checkpoint("weights/denoise")
+    model = M.build_generator("denoise")
+    p0, s0 = model.init(prng.key(1))
+    p1, s1 = load_pth_safely(model, str(out), p0, s0)
+    want = treelib.flatten(sections["generator"])
+    got = treelib.flatten(p1)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(v),
+                                      err_msg=str(k))
+
+
+def test_export_cli_rejects_keras_for_torch_family(tmp_path):
+    from celebrity_image_denoiser_tpu.cli.export import main
+
+    with pytest.raises(SystemExit, match="keras"):
+        main(["--model", "denoise", "--checkpoint", "weights/denoise",
+              "--out", str(tmp_path / "x.keras")])
