@@ -162,14 +162,27 @@ def _rank(hlo: str, label: str, top: int):
         if not m:
             continue
         name, rhs = m.group(1), m.group(2)
-        # result shape = first shape literal(s) before the op name
-        opm = re.match(r"((?:\([^)]*\))|(?:[\w\[\],]+)) (\w+)\(", rhs)
-        result_txt = opm.group(1) if opm else rhs.split(" ")[0]
-        op = opm.group(2) if opm else "?"
+        # result shape = first shape literal(s) before the op name.  Tuple
+        # results may nest parens inside layout annotations
+        # ("(bf16[...]{3,0:T(8,128)(2,1)}, ...) fusion(..."), so find the
+        # op name as the last word before the first top-level "(" that
+        # FOLLOWS the balanced result text.
+        if rhs.startswith("("):
+            depth, i = 0, 0
+            for i, ch in enumerate(rhs):
+                depth += (ch == "(") - (ch == ")")
+                if depth == 0:
+                    break
+            result_txt, rest = rhs[: i + 1], rhs[i + 1:].lstrip()
+        else:
+            result_txt, _, rest = rhs.partition(" ")
+        opm = re.match(r"(\w[\w\-]*)\(", rest)
+        op = opm.group(1) if opm else "?"
         out_b = shape_bytes(result_txt)
         # operand bytes: look up each %ref / bare name used as an arg
+        # (scan only past the result text so result shapes can't alias)
         arg_b = 0
-        paren = rhs[rhs.find("("):]
+        paren = rest[rest.find("("):] if "(" in rest else ""
         for ref in re.findall(r"%?([\w.\-]+)", paren):
             if ref in defs:
                 arg_b += defs[ref]
