@@ -567,3 +567,38 @@ def test_export_cli_rejects_keras_for_torch_family(tmp_path):
     with pytest.raises(SystemExit, match="keras"):
         main(["--model", "denoise", "--checkpoint", "weights/denoise",
               "--out", str(tmp_path / "x.keras")])
+
+
+def test_export_cli_keras_roundtrip(tmp_path):
+    """cli.export --format keras: native cgan checkpoint -> .keras zip that
+    our TF-free importer loads back to an identical forward."""
+    pytest.importorskip("h5py")
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from celebrity_image_denoiser_tpu import models as M
+    from celebrity_image_denoiser_tpu.ckpt import (
+        load_keras_model,
+        save_checkpoint,
+    )
+    from celebrity_image_denoiser_tpu.cli.export import main
+    from celebrity_image_denoiser_tpu.core import prng
+
+    model = M.CGANKerasGenerator()
+    params, state = model.init(prng.key(3))
+    src = tmp_path / "ckpt"
+    save_checkpoint(str(src), {"generator": params, "generator_state": state},
+                    meta={"epoch": 500})
+    out = tmp_path / "cgan_epoch_500.keras"
+    rc = main(["--model", "cgan", "--checkpoint", str(src),
+               "--out", str(out)])  # format inferred from the extension
+    assert rc == 0 and out.exists()
+
+    p2, s2 = model.init(prng.key(4))
+    p2, s2 = load_keras_model(model, str(out), p2, s2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    y1, _ = model.apply(params, state, x)
+    y2, _ = model.apply(p2, s2, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)
