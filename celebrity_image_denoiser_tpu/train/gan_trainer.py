@@ -143,6 +143,25 @@ def make_train_step(
 
     d_apply = _wrap(discriminator.apply) if discriminator is not None else None
 
+    if cdt is not None and perceptual is not None:
+        # the frozen VGG content tower must follow the compute dtype too:
+        # left f32 it dominates the srgan step's HBM traffic (per-op
+        # receipt, kernel_notes.md r5 — the f32 256² ReLU pairs and
+        # maxpool select-and-scatter are the tower, not D).  Inputs cast
+        # down at the loss boundary (nn layers cast kernels to the input
+        # dtype); the scalar loss returns f32 like every other loss here.
+        from celebrity_image_denoiser_tpu.core import dtypes
+        from celebrity_image_denoiser_tpu.ops.conv import (
+            ad_safe_low_precision,
+        )
+
+        _base_perceptual = perceptual
+
+        def perceptual(a, b, _p=_base_perceptual):
+            with ad_safe_low_precision():
+                v = _p(dtypes.cast_to(a, cdt), dtypes.cast_to(b, cdt))
+            return v.astype(jnp.float32)
+
     # generator forward used inside the step (always train mode there); with
     # remat the activations are rematerialized in the backward pass — trades
     # FLOPs for HBM, raising the trainable batch size (jax.checkpoint)

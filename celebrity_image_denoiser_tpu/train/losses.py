@@ -50,6 +50,10 @@ def make_vgg_perceptual(vgg_model, vgg_params, vgg_state, to_unit=False):
             y = y * 0.5 + 0.5
         fx, _ = vgg_model.apply(vgg_params, vgg_state, x)
         fy, _ = vgg_model.apply(vgg_params, vgg_state, y)
-        return mse(fx, fy)
+        # f32 reduction even when the tower ran bf16 (mixed-precision
+        # training casts the inputs down): the mean is over tens of
+        # millions of feature elements — the elementwise diff fuses into
+        # the reduction, so this costs no extra HBM bytes
+        return mse(fx.astype(jnp.float32), fy.astype(jnp.float32))
 
     return loss

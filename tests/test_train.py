@@ -250,3 +250,34 @@ def test_bf16_train_step_matches_f32(rng_np):
         a, b = results["float32"][k], results["bfloat16"][k]
         assert np.isfinite(b)
         assert abs(a - b) < 0.05 * max(1.0, abs(a)), (k, a, b)
+
+
+def test_bf16_srgan_perceptual_tower_matches_f32(rng_np):
+    """Under compute_dtype='bfloat16' the frozen VGG content tower runs
+    bf16 too (r5: left f32 it dominated the srgan step's HBM traffic —
+    kernel_notes.md).  The mixed-precision step must track the f32 step's
+    losses closely; the content-loss reduction stays f32."""
+    from celebrity_image_denoiser_tpu.train.losses import make_vgg_perceptual
+
+    hr = jnp.asarray(rng_np.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    vgg = models.VGGFeatures()
+    v_params, v_state = vgg.init(prng.key(5))
+    perceptual = make_vgg_perceptual(vgg, v_params, v_state)
+    results = {}
+    for cdt in ("float32", "bfloat16"):
+        init_fn, step_fn = make_train_step(
+            models.build_generator("srgan"),
+            models.build_discriminator("srgan"),
+            family="srgan", perceptual=perceptual, on_the_fly_noise=True,
+            sr_scale=4, donate=False, compute_dtype=cdt)
+        carry = init_fn(prng.key(0))
+        for i in range(2):
+            carry, m = step_fn(carry, hr, hr, prng.key(i),
+                               jnp.float32(1e-4), jnp.float32(1e-4))
+        assert jax.tree.leaves(carry[0])[0].dtype == jnp.float32
+        assert m["g_loss"].dtype == jnp.float32  # f32 content reduction
+        results[cdt] = {k: float(v) for k, v in m.items()}
+    for k in ("g_loss", "d_loss", "psnr"):
+        a, b = results["float32"][k], results["bfloat16"][k]
+        assert np.isfinite(b)
+        assert abs(a - b) < 0.05 * max(1.0, abs(a)), (k, a, b)
