@@ -43,36 +43,20 @@ def shape_bytes(text: str) -> int:
     return total
 
 
-def _lower_train_step(family: str, compute_dtype: str, batch, size):
+def _lower_train_step(family: str, compute_dtype: str, batch, size,
+                      remat: bool = False):
     """Compile one jitted GAN train step (the exact program train_bench.py
-    times) and return its optimized HLO — per-op attribution for the train
-    bytes-roofline receipts (VERDICT r4 next #3: locate the GB/step)."""
+    times — shared construction via train_bench.build_train_step) and return
+    its optimized HLO — per-op attribution for the train bytes-roofline
+    receipts (VERDICT r4 next #3: locate the GB/step)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, os.path.join(_REPO, "scripts"))
-    from train_bench import CONFIGS as TRAIN_CONFIGS
-    from train_serving_weights import build_models, load_perceptual
+    from train_bench import build_train_step
 
     from celebrity_image_denoiser_tpu.core import prng
-    from celebrity_image_denoiser_tpu.core.config import FAMILY_NOISE_VARIANT
     from celebrity_image_denoiser_tpu.data.synthetic import synth_clean_batch
-    from celebrity_image_denoiser_tpu.train.gan_trainer import make_train_step
 
-    cfg_batch, cfg_size = TRAIN_CONFIGS[family]
-    batch, size = batch or cfg_batch, size or cfg_size
-    if family == "cgan":
-        from celebrity_image_denoiser_tpu import models as M
-
-        gen, disc = (M.CGANKerasGenerator(),
-                     M.CGANKerasDiscriminator(input_hw=(size, size)))
-    else:
-        gen, disc = build_models(family, size)
-    init_fn, step_fn = make_train_step(
-        gen, disc, family=family,
-        perceptual=load_perceptual(None) if family == "srgan" else None,
-        on_the_fly_noise=True,
-        noise_variant=FAMILY_NOISE_VARIANT.get(family, 1),
-        donate=False, sr_scale=4 if family == "srgan" else 1,
-        compute_dtype=compute_dtype)
+    init_fn, step_fn, batch, size = build_train_step(
+        family, compute_dtype, batch=batch, size=size, remat=remat)
     carry = init_fn(prng.key(0))
     clean = synth_clean_batch(prng.key(1), batch, size) * 2.0 - 1.0
     lr = jnp.float32(1e-4)
@@ -93,14 +77,18 @@ def main():
     ap.add_argument("--compute-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="train-mode compute dtype")
+    ap.add_argument("--remat", action="store_true",
+                    help="train mode: attribute the jax.checkpoint variant "
+                         "(the program train_bench --remat times)")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
 
     if args.train:
         compiled = _lower_train_step(args.train, args.compute_dtype,
-                                     args.batch, args.size)
+                                     args.batch, args.size, remat=args.remat)
         _rank(compiled.as_text(),
-              f"train:{args.train} dtype={args.compute_dtype}", args.top)
+              f"train:{args.train} dtype={args.compute_dtype}"
+              + (" remat" if args.remat else ""), args.top)
         return
     args.batch = args.batch or 2048
 

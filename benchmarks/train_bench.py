@@ -49,10 +49,13 @@ CONFIGS = {
 V5E_HBM_GBPS = 819.0  # same roofline constant as benchmarks/cost_analysis.py
 
 
-def bench_family(family: str, steps: int, chunk: int,
-                 compute_dtype: str = "float32", batch: int = None,
-                 no_metrics: bool = False, size: int = None,
-                 remat: bool = False):
+def build_train_step(family: str, compute_dtype: str = "float32",
+                     batch: int = None, size: int = None,
+                     remat: bool = False):
+    """(init_fn, step_fn, batch, size) for one family's jitted GAN step —
+    the single construction site shared by the timing bench below and
+    hlo_traffic.py's per-op attribution, so the 'exact program
+    train_bench times' claim can't drift between the two tools."""
     sys.path.insert(0, os.path.join(_REPO, "scripts"))
     from train_serving_weights import build_models, load_perceptual
 
@@ -76,6 +79,15 @@ def bench_family(family: str, steps: int, chunk: int,
         compute_dtype=compute_dtype,
         remat=remat,
     )
+    return init_fn, step_fn, batch, size
+
+
+def bench_family(family: str, steps: int, chunk: int,
+                 compute_dtype: str = "float32", batch: int = None,
+                 no_metrics: bool = False, size: int = None,
+                 remat: bool = False):
+    init_fn, step_fn, batch, size = build_train_step(
+        family, compute_dtype, batch=batch, size=size, remat=remat)
 
     def run_chunk(carry, key, lr):
         def body(c, k):
@@ -92,6 +104,20 @@ def bench_family(family: str, steps: int, chunk: int,
                        if k2 in m}
 
         return jax.lax.scan(body, carry, jax.random.split(key, chunk))
+
+    if no_metrics:
+        # isolate the in-step PSNR/SSIM cost: identical step minus metrics
+        # (the reference computes them per batch; ours are on-device but
+        # still inside the program — this quantifies their share).  Applied
+        # BEFORE the roofline lowering below so the bytes receipt describes
+        # the same metrics-free program the timing loop runs (XLA DCEs the
+        # dropped psnr/ssim either way).
+        raw_step = step_fn
+
+        @jax.jit
+        def step_fn(c, noisy, clean, k, lg, ld):  # noqa: F811
+            c, m = raw_step(c, noisy, clean, k, lg, ld)
+            return c, {"g_loss": m["g_loss"]}
 
     # ---- bytes-roofline receipt for the TRAIN PROGRAM proper -------------
     # the jitted step (noise synth + G/D fwd+bwd + Adam + in-step metrics;
@@ -124,16 +150,6 @@ def bench_family(family: str, steps: int, chunk: int,
         del carry0
     except Exception as e:
         roofline = {"roofline_error": str(e)}
-
-    if no_metrics:
-        # isolate the in-step PSNR/SSIM cost: identical step minus metrics
-        # (the reference computes them per batch; ours are on-device but
-        # still inside the program — this quantifies their share)
-        raw_step = step_fn
-
-        def step_fn(c, noisy, clean, k, lg, ld):  # noqa: F811
-            c, m = raw_step(c, noisy, clean, k, lg, ld)
-            return c, {"g_loss": m["g_loss"]}
 
     run_chunk = jax.jit(run_chunk, donate_argnums=(0,))
     carry = init_fn(prng.key(0))

@@ -51,6 +51,13 @@ def main(argv=None) -> int:
         raise SystemExit(".keras export is the cGAN generator's format "
                          "(the reference only ever saves cgan as .keras); "
                          "use --format pth for the torch families")
+    if fmt == "pth" and args.model == "cgan":
+        # A cgan .pth would carry CGANKerasGenerator-tree keys no reference
+        # torch loader matches (app.py:257-274) — the tolerant loader would
+        # silently fall back to random init. The torch-layout cGAN is a
+        # separate family.
+        raise SystemExit("the Keras cGAN exports as .keras only; for a "
+                         "torch-loadable cGAN use --model cgan_torch")
 
     from celebrity_image_denoiser_tpu.ckpt import load_checkpoint
 

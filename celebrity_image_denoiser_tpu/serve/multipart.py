@@ -60,8 +60,9 @@ def _split_headers(chunk: bytes):
     i_lf = chunk.find(b"\n\n")
     if i_crlf < 0 and i_lf < 0:
         raise ValueError("multipart part missing blank line after headers")
-    # take whichever terminator appears first; note "\r\n\r\n" contains
-    # "\n\n" starting one byte later, so equal-region hits pick CRLF
+    # take whichever terminator starts first (they can never start at the
+    # same index — the first byte differs), so mixed-framing bodies split
+    # at the earliest blank line of either flavor
     if i_crlf >= 0 and (i_lf < 0 or i_crlf <= i_lf):
         return chunk[:i_crlf], chunk[i_crlf + 4:]
     return chunk[:i_lf], chunk[i_lf + 2:]
@@ -87,6 +88,15 @@ def parse_multipart(body: bytes, content_type_header: str) -> Dict[str, Part]:
     terminated = False
     for chunk in chunks[1:]:  # chunks[0] is the RFC 2046 preamble: ignored
         if chunk.startswith(b"--"):
+            # a REAL terminal delimiter is "--boundary--" followed only by
+            # optional linear whitespace and then CRLF + epilogue (RFC 2046
+            # §5.1.1).  "--garbage" here means a part's DATA contained the
+            # delimiter bytes — reject loudly rather than silently dropping
+            # every later part (the hardening contract above).
+            head = chunk.split(b"\r\n", 1)[0].split(b"\n", 1)[0]
+            if head.strip(b" \t") != b"--":
+                raise ValueError(
+                    "boundary delimiter appears inside part data")
             terminated = True
             break  # everything after the terminal delimiter is epilogue
         chunk = _strip_framing(chunk)

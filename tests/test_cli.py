@@ -532,6 +532,7 @@ def test_export_cli_pth_roundtrip(tmp_path):
     """cli.export writes a .pth the tolerant importer (and therefore the
     reference's own loader layout, app.py:257-274) reads back bit-equal —
     the CLI surface of the ckpt/export.py round-trip."""
+    pytest.importorskip("torch")
     import numpy as np
 
     from celebrity_image_denoiser_tpu import models as M
@@ -567,6 +568,17 @@ def test_export_cli_rejects_keras_for_torch_family(tmp_path):
     with pytest.raises(SystemExit, match="keras"):
         main(["--model", "denoise", "--checkpoint", "weights/denoise",
               "--out", str(tmp_path / "x.keras")])
+
+
+def test_export_cli_rejects_pth_for_keras_cgan(tmp_path):
+    """--model cgan --format pth would write a state_dict no reference torch
+    loader matches (the tolerant loader would silently random-init) — the
+    CLI must refuse and point at cgan_torch."""
+    from celebrity_image_denoiser_tpu.cli.export import main
+
+    with pytest.raises(SystemExit, match="cgan_torch"):
+        main(["--model", "cgan", "--checkpoint", "weights/denoise",
+              "--out", str(tmp_path / "x.pth")])
 
 
 def test_export_cli_keras_roundtrip(tmp_path):

@@ -91,6 +91,27 @@ def test_part_without_name_rejected_not_dropped():
         parse_multipart(body, CTYPE)
 
 
+def test_delimiter_lookalike_inside_data_rejected_not_truncated():
+    """Part data containing '\\r\\n--boundary--X' must NOT be treated as the
+    terminal delimiter (which would silently truncate the file and drop all
+    later parts — the r5 review finding); the parse fails loudly instead."""
+    b = BOUNDARY.encode()
+    body = (b"--" + b + b"\r\n"
+            b'Content-Disposition: form-data; name="file"; filename="a"\r\n'
+            b"\r\nDATA\r\n--" + b + b"--SPLICED\r\n"
+            b"--" + b + b"\r\n"
+            b'Content-Disposition: form-data; name="label"\r\n\r\n5\r\n'
+            b"--" + b + b"--")
+    with pytest.raises(ValueError, match="inside part data"):
+        parse_multipart(body, CTYPE)
+    # a REAL terminal delimiter with trailing linear whitespace still parses
+    ok = (b"--" + b + b"\r\n"
+          b'Content-Disposition: form-data; name="file"; filename="a"\r\n'
+          b"\r\nDATA\r\n"
+          b"--" + b + b"-- \t\r\nepilogue")
+    assert parse_multipart(ok, CTYPE)["file"].data == b"DATA"
+
+
 def test_quoted_and_garbage_boundary_params():
     parts = parse_multipart(VALID, f'multipart/form-data; boundary="{BOUNDARY}"')
     assert "file" in parts  # quoted boundary accepted
